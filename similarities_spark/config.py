@@ -1,0 +1,51 @@
+"""Engine configuration.
+
+All knobs that govern BM25 semantics and physical layout in one dataclass so
+tests, bench, and spark-submit entry points share a single source of truth.
+
+BM25 parameters mirror the reference defaults
+(reference similarities/utils/rank_bm25.py:72 — k1=1.5, b=0.75, epsilon=0.25).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # --- BM25 semantics (reference rank_bm25.py:72,88-98) ---
+    k1: float = 1.5
+    b: float = 0.75
+    epsilon: float = 0.25  # idf floor multiplier on full-vocab average idf
+
+    # --- tokenization (reference literal_similarity.py:408-414,434) ---
+    # Stopwords are applied to CORPUS tokens only, never to queries.
+    stopwords: frozenset = field(default_factory=frozenset)
+    lowercase_stopword_match: bool = True  # reference: w.strip().lower() in stopwords
+
+    # --- physical index layout ---
+    block_size: int = 128          # postings per compressed block
+    num_term_buckets: int = 32     # hash(term) buckets = index partition count
+    salt_df_threshold: int = 50_000  # terms with df >= this get doc-range salted
+    num_salts: int = 16            # doc-range splits for head terms
+
+    # --- query execution ---
+    score_mode: str = "wand"       # "wand" | "exact" (term-at-a-time, no pruning)
+
+    # --- checkpointing ---
+    checkpoint_dir: Optional[str] = None  # manifests + resumability; None = off
+
+    def salt_bounds(self, n_docs: int):
+        """Doc-id range boundaries shared by ALL salted terms.
+
+        Using fixed global doc ranges (not hash(doc_id)) keeps each salt's
+        postings a contiguous sorted doc-id run, so per-term segments
+        concatenate in salt order into the full sorted posting list with no
+        merge stage, and a future doc-sharded scoring path can co-locate all
+        terms of a doc range.
+        """
+        n = max(1, n_docs)
+        per = (n + self.num_salts - 1) // self.num_salts
+        return per

@@ -1,0 +1,467 @@
+"""Distributed BM25 inverted-index builder.
+
+Pipeline (all relational work is declarative DataFrame ops; Python only in
+the tokenizer UDF and the Arrow block encoder):
+
+  webtext scan (column-pruned: url, warc_ts, text)
+    -> exact-text dedup keep-first in ingestion order          [shuffle: text]
+       (reference semantics: literal_similarity.py:394,399)
+    -> dense doc_id 0..N-1 in (warc_ts, url) order             [range shuffle]
+       (deterministic ingestion order == reference list order)
+    -> tokenize (Arrow pandas UDF, corpus mode)
+    -> postings: explode(tokens) -> groupBy(term, doc_id, dl)  [shuffle: term,doc]
+       (partial map-side agg via Catalyst; dl rides along, no doc join)
+    -> term_stats: groupBy(term).count -> idf (exact math.log) [shuffle: term]
+       + global average_idf + epsilon floor (rank_bm25.py:88-98 semantics)
+    -> head-term salting: broadcast tiny heavy-term list; salt = fixed global
+       doc-id range -> per-term segments stay sorted runs, no merge stage
+    -> groupBy(term, salt).applyInPandas block encoder         [shuffle: term,salt]
+       (delta+varint blocks + per-block max/min tf-norm for block-max bounds)
+    -> join blocks x term_stats (block-level rows, ~postings/128)
+    -> write parquet partitioned by bucket = xxhash64(term) % B,
+       per-bucket checkpoint manifests (lineage + metrics) -> resumable
+
+Scale notes (the 1000-executor story):
+- The only driver-side values are scalars (N, total_tokens, average_idf) and
+  the heavy-term salt list (df >= threshold: thousands of terms, not vocab).
+- No broadcast of vocab-sized or corpus-sized state anywhere.
+- Heavy-term skew is bounded by doc-range salting BEFORE groupBy(term, salt);
+  AQE alone can't do this because a term's postings must stay sorted runs.
+- Dense doc_id uses sort + zipWithIndex (two narrow passes), not a global
+  single-partition window.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+from dataclasses import asdict
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Row, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+from pyspark.storagelevel import StorageLevel
+
+from similarities_spark.config import EngineConfig
+from similarities_spark.index import codec
+from similarities_spark.plans.manifest import completed_buckets, write_manifest
+from similarities_spark.sources.readers import extract_text
+from similarities_spark.tokenize import make_tokenizer_udf
+
+_BLOCK_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("salt", IntegerType()),
+        StructField("block_id", IntegerType()),
+        StructField("min_doc", LongType()),
+        StructField("max_doc", LongType()),
+        StructField("n_postings", IntegerType()),
+        StructField("max_g", DoubleType()),  # max of tf*(k1+1)/(tf+k1*norm)
+        StructField("min_g", DoubleType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+class BM25Index:
+    """Handle to an on-disk index: meta.json + docs/term_stats/blocks parquet."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, "meta.json"), "r", encoding="utf-8") as f:
+            self.meta = json.load(f)
+
+    @property
+    def n_docs(self) -> int:
+        return self.meta["n_docs"]
+
+    @property
+    def avgdl(self) -> float:
+        return self.meta["avgdl"]
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+
+    def term_stats(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+
+    def blocks(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "blocks"))
+
+    def config(self) -> EngineConfig:
+        c = dict(self.meta["config"])
+        c["stopwords"] = frozenset(c.get("stopwords") or ())
+        return EngineConfig(**c)
+
+
+def _dense_doc_ids(pages: DataFrame, sort_partitions: int) -> DataFrame:
+    """Dense 0..N-1 doc ids in deterministic (warc_ts, url) ingestion order.
+
+    repartitionByRange + sortWithinPartitions + zipWithIndex is the scalable
+    dense-rank: two narrow passes, no single-partition global window.
+    """
+    spark = pages.sparkSession
+    ordered = pages.repartitionByRange(
+        sort_partitions, "warc_ts", "url"
+    ).sortWithinPartitions("warc_ts", "url")
+    fields = ordered.schema.fields
+    out_schema = StructType([StructField("doc_id", LongType())] + list(fields))
+    rdd = ordered.rdd.zipWithIndex().map(lambda pair: (pair[1], *pair[0]))
+    return spark.createDataFrame(rdd, out_schema)
+
+
+def _make_block_encoder(cfg: EngineConfig, avgdl: float):
+    k1, b, block_size = cfg.k1, cfg.b, cfg.block_size
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", kind="mergesort")
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["doc_len"].to_numpy(dtype=np.int64)
+        term = pdf["term"].iloc[0]
+        salt = int(pdf["salt"].iloc[0])
+        # g = the tf/length normalization factor; contribution = idf * g.
+        g = codec.contribs(tfs, dls, 1.0, avgdl, k1, b)
+        rows = []
+        for bi, lo in enumerate(range(0, len(doc_ids), block_size)):
+            hi = min(lo + block_size, len(doc_ids))
+            payload = codec.encode_block(doc_ids[lo:hi], tfs[lo:hi], dls[lo:hi])
+            gb = g[lo:hi]
+            rows.append(
+                (
+                    term,
+                    salt,
+                    bi,
+                    int(doc_ids[lo]),
+                    int(doc_ids[hi - 1]),
+                    hi - lo,
+                    float(gb.max()),
+                    float(gb.min()),
+                    payload,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[f.name for f in _BLOCK_SCHEMA.fields],
+        )
+
+    return encode
+
+
+@F.pandas_udf(DoubleType())
+def _idf_raw_udf(df_col: pd.Series, n_col: pd.Series) -> pd.Series:
+    """Exact reference idf: math.log (C libm) per term — NOT jvm Math.log or
+    numpy SIMD log, so floats match the oracle bit-for-bit
+    (rank_bm25.py:91 semantics). Per-TERM work: vocab-sized, cheap."""
+    n = n_col.to_numpy()
+    d = df_col.to_numpy()
+    return pd.Series(
+        [math.log(int(ni) - int(di) + 0.5) - math.log(int(di) + 0.5) for ni, di in zip(n, d)]
+    )
+
+
+class BM25IndexBuilder:
+    def __init__(self, spark: SparkSession, cfg: EngineConfig = EngineConfig()):
+        self.spark = spark
+        self.cfg = cfg
+
+    # ---------- public API ----------
+
+    def build(
+        self,
+        webtext: DataFrame,
+        index_dir: str,
+        resume: bool = False,
+        input_desc: str = "",
+        _fail_after_groups: Optional[int] = None,
+    ) -> BM25Index:
+        """Build (or resume) the index at ``index_dir``.
+
+        ``resume=True`` trusts any stage/bucket whose manifest matches the
+        current lineage and recomputes only the rest. ``_fail_after_groups``
+        is a test hook that aborts after N bucket groups to exercise resume.
+        """
+        cfg = self.cfg
+        t0 = time.time()
+        os.makedirs(index_dir, exist_ok=True)
+        ckpt = cfg.checkpoint_dir or os.path.join(index_dir, "manifests")
+
+        docs_path = os.path.join(index_dir, "docs")
+        stats_path = os.path.join(index_dir, "term_stats")
+        blocks_path = os.path.join(index_dir, "blocks")
+
+        # ---- stage 1: ingest -> docs(doc_id, url, text, doc_len) ----
+        docs_manifest = os.path.join(ckpt, "stage-docs.json")
+        if resume and os.path.exists(docs_manifest):
+            docs = self.spark.read.parquet(docs_path)
+            with open(docs_manifest, "r", encoding="utf-8") as f:
+                docs_meta = json.load(f)
+        else:
+            docs, docs_meta = self._build_docs(webtext, docs_path, input_desc)
+            os.makedirs(ckpt, exist_ok=True)
+            with open(docs_manifest, "w", encoding="utf-8") as f:
+                json.dump(docs_meta, f, sort_keys=True)
+
+        n_docs = docs_meta["n_docs"]
+        lineage_key = (
+            f"{input_desc}|{n_docs}|k1={cfg.k1}|b={cfg.b}"
+            f"|eps={cfg.epsilon}|buckets={cfg.num_term_buckets}"
+        )
+
+        # SINGLE tokenization pass feeds doc_len, total_tokens, and postings
+        # (tokenization dominates build cost at webtext scale — never run it
+        # twice; deterministic retokenize from the docs table on resume).
+        tok_udf = make_tokenizer_udf("corpus", cfg.stopwords)
+        tokenized = docs.select(
+            "doc_id",
+            tok_udf(F.col("text")).alias("tokens"),
+        ).withColumn("doc_len", F.size("tokens"))
+        postings = (
+            tokenized.select(
+                "doc_id", "doc_len", F.explode("tokens").alias("term")
+            )
+            .groupBy("term", "doc_id", "doc_len")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
+        # total token count == sum(tf) over postings (reuses the persisted
+        # postings, so exactly ONE tokenization job runs)
+        total_tokens = int(
+            postings.agg(F.sum("tf").alias("t")).collect()[0]["t"] or 0
+        )
+        docs_meta["total_tokens"] = total_tokens
+        # exact reference arithmetic: python int/int division -> float64
+        avgdl = total_tokens / n_docs
+
+        # ---- stage 2: term_stats(term, df, idf) + global average_idf ----
+        stats_manifest = os.path.join(ckpt, "stage-term_stats.json")
+        if resume and os.path.exists(stats_manifest):
+            term_stats = self.spark.read.parquet(stats_path)
+            with open(stats_manifest, "r", encoding="utf-8") as f:
+                stats_meta = json.load(f)
+        else:
+            term_stats, stats_meta = self._build_term_stats(
+                postings, n_docs, stats_path
+            )
+            with open(stats_manifest, "w", encoding="utf-8") as f:
+                json.dump(stats_meta, f, sort_keys=True)
+            term_stats = self.spark.read.parquet(stats_path)
+
+        # ---- stage 3: salted block encoding, bucketed write, manifests ----
+        done = completed_buckets(ckpt, lineage_key) if resume else []
+        self._build_blocks(
+            postings,
+            term_stats,
+            blocks_path,
+            ckpt,
+            lineage_key,
+            n_docs=n_docs,
+            avgdl=avgdl,
+            done_buckets=set(done),
+            fail_after_groups=_fail_after_groups,
+        )
+        postings.unpersist()
+
+        # ---- meta.json: overall commit marker ----
+        meta = {
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "avgdl": avgdl,
+            "vocab_size": stats_meta["vocab_size"],
+            "average_idf": stats_meta["average_idf"],
+            "n_postings": stats_meta["n_postings"],
+            "lineage_key": lineage_key,
+            "input_desc": input_desc,
+            "n_input_rows": docs_meta["n_input_rows"],
+            "n_dups_dropped": docs_meta["n_input_rows"] - n_docs,
+            "build_wall_s": time.time() - t0,
+            "config": {
+                "k1": cfg.k1,
+                "b": cfg.b,
+                "epsilon": cfg.epsilon,
+                "stopwords": sorted(cfg.stopwords),
+                "lowercase_stopword_match": cfg.lowercase_stopword_match,
+                "block_size": cfg.block_size,
+                "num_term_buckets": cfg.num_term_buckets,
+                "salt_df_threshold": cfg.salt_df_threshold,
+                "num_salts": cfg.num_salts,
+                "score_mode": cfg.score_mode,
+                "checkpoint_dir": cfg.checkpoint_dir,
+            },
+        }
+        with open(os.path.join(index_dir, "meta.json"), "w", encoding="utf-8") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+        return BM25Index(self.spark, index_dir)
+
+    # ---------- stages ----------
+
+    def _build_docs(self, webtext: DataFrame, docs_path: str, input_desc: str):
+        pages = extract_text(webtext).select("url", "warc_ts", "text")
+        n_input = pages.count()
+        # keep-first exact-text dedup in ingestion order
+        w = Window.partitionBy("text").orderBy("warc_ts", "url")
+        deduped = (
+            pages.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        sort_parts = max(
+            1, self.spark.sparkContext.defaultParallelism
+        )
+        with_ids = _dense_doc_ids(deduped, sort_parts)
+        docs = with_ids.select("doc_id", "url", "text")
+        docs.write.mode("overwrite").parquet(docs_path)
+        docs = self.spark.read.parquet(docs_path)
+        n_docs = docs.count()
+        meta = {
+            "n_docs": int(n_docs),
+            "n_input_rows": int(n_input),
+            "input_desc": input_desc,
+        }
+        return docs, meta
+
+    def _build_term_stats(self, postings: DataFrame, n_docs: int, stats_path: str):
+        cfg = self.cfg
+        df_tbl = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        raw = df_tbl.withColumn(
+            "idf_raw", _idf_raw_udf(F.col("df"), F.lit(n_docs).cast("long"))
+        )
+        raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
+        g = raw.agg(
+            F.sum("idf_raw").alias("s"),
+            F.count(F.lit(1)).alias("v"),
+        ).collect()[0]
+        vocab_size = int(g["v"])
+        average_idf = float(g["s"]) / vocab_size if vocab_size else 0.0
+        eps = cfg.epsilon * average_idf
+        stats = raw.select(
+            "term",
+            "df",
+            F.when(F.col("idf_raw") < 0, F.lit(eps))
+            .otherwise(F.col("idf_raw"))
+            .alias("idf"),
+        )
+        stats.write.mode("overwrite").parquet(stats_path)
+        raw.unpersist()
+        n_postings = postings.count()
+        meta = {
+            "vocab_size": vocab_size,
+            "average_idf": average_idf,
+            "epsilon_floor": eps,
+            "n_postings": int(n_postings),
+        }
+        return stats, meta
+
+    def _build_blocks(
+        self,
+        postings: DataFrame,
+        term_stats: DataFrame,
+        blocks_path: str,
+        ckpt: str,
+        lineage_key: str,
+        n_docs: int,
+        avgdl: float,
+        done_buckets: set,
+        fail_after_groups: Optional[int] = None,
+    ):
+        cfg = self.cfg
+        # heavy-term list is tiny (df >= threshold) -> broadcast join
+        heavy = term_stats.filter(F.col("df") >= cfg.salt_df_threshold).select(
+            "term", F.lit(True).alias("_heavy")
+        )
+        per_salt = cfg.salt_bounds(n_docs)
+        salted = (
+            postings.join(F.broadcast(heavy), "term", "left")
+            .withColumn(
+                "salt",
+                F.when(
+                    F.col("_heavy").isNotNull(),
+                    (F.col("doc_id") / F.lit(per_salt)).cast("int"),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_heavy")
+        )
+        encoder = _make_block_encoder(cfg, avgdl)
+        blocks = salted.groupBy("term", "salt").applyInPandas(encoder, _BLOCK_SCHEMA)
+        blocks = blocks.join(
+            term_stats.select("term", "df", "idf"), "term", "inner"
+        ).withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(cfg.num_term_buckets)).cast("int"),
+        ).withColumn(
+            # exact upper bound of this block's contribution (idf may be <0
+            # after the epsilon floor on tiny corpora)
+            "max_contrib",
+            F.when(F.col("idf") >= 0, F.col("idf") * F.col("max_g")).otherwise(
+                F.col("idf") * F.col("min_g")
+            ),
+        )
+        blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+
+        all_buckets = list(range(cfg.num_term_buckets))
+        todo = [b for b in all_buckets if b not in done_buckets]
+        # clean untrusted partials (buckets without manifests)
+        for b in todo:
+            part_dir = os.path.join(blocks_path, f"bucket={b}")
+            if os.path.isdir(part_dir):
+                shutil.rmtree(part_dir)
+
+        group_size = max(1, len(all_buckets) // 8)
+        groups = [todo[i : i + group_size] for i in range(0, len(todo), group_size)]
+        for gi, grp in enumerate(groups):
+            if fail_after_groups is not None and gi >= fail_after_groups:
+                raise RuntimeError(
+                    f"[test hook] aborting blocks build after {gi} groups"
+                )
+            t0 = time.time()
+            part = blocks.filter(F.col("bucket").isin(grp))
+            metrics = {
+                int(r["bucket"]): r
+                for r in part.groupBy("bucket")
+                .agg(
+                    F.countDistinct("term").alias("n_terms"),
+                    F.sum("n_postings").alias("n_postings"),
+                    F.count(F.lit(1)).alias("n_blocks"),
+                    F.sum(F.length("payload")).alias("payload_bytes"),
+                )
+                .collect()
+            }
+            (
+                part.repartition(max(1, len(grp)), "bucket")
+                .sortWithinPartitions("term", "salt", "block_id")
+                .write.mode("append")
+                .partitionBy("bucket")
+                .parquet(blocks_path)
+            )
+            wall = time.time() - t0
+            for b in grp:
+                m = metrics.get(b)
+                write_manifest(
+                    ckpt,
+                    b,
+                    {
+                        "lineage_key": lineage_key,
+                        "bucket": b,
+                        "n_terms": int(m["n_terms"]) if m is not None else 0,
+                        "n_postings": int(m["n_postings"]) if m is not None else 0,
+                        "n_blocks": int(m["n_blocks"]) if m is not None else 0,
+                        "payload_bytes": int(m["payload_bytes"]) if m is not None else 0,
+                        "group_wall_s": wall,
+                    },
+                )
+        blocks.unpersist()

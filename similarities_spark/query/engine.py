@@ -1,0 +1,217 @@
+"""Distributed BM25 query engine over the term-partitioned block index.
+
+Physical plan (per query batch):
+
+  queries -> tokenize UDF (query mode: NO stopword filter, duplicates kept,
+             reference literal_similarity.py:434)
+    -> posexplode tokens                              (order-preserving)
+    -> DISTINCT (query_id, term)  [tiny]  --broadcast--+
+    blocks scan: partition-pruned to bucket IN (query-term buckets),
+                 row-group pruned by term via min/max stats  <--- joined here
+    -> cogroup(query tokens, matched blocks) BY query_id
+       -> applyInPandas: block-max MaxScore kernel (scorer.py)
+    -> per-query top-k already ranked; zero-score padding stage only for
+       queries the scorer flagged (degenerate small-corpus semantics,
+       reference literal_similarity.py:437-440)
+    -> optional join docs for corpus text
+
+Only blocks whose term matches some query term are ever shuffled; the big
+index never moves otherwise. The scorer task for one query holds that query's
+candidate blocks — for single-query latency at extreme scale a doc-sharded
+fan-out variant would split by salt range, which the fixed global salt ranges
+already support (future work, documented in SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Union
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from similarities_spark.index.build import BM25Index
+from similarities_spark.query import scorer as _scorer
+from similarities_spark.tokenize import make_tokenizer_udf
+
+_SCORE_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("score", DoubleType()),
+        StructField("n_matched", LongType()),
+        StructField("needs_pad", BooleanType()),
+    ]
+)
+
+
+class BM25QueryEngine:
+    def __init__(self, index: BM25Index):
+        self.index = index
+        self.spark = index.spark
+        self.cfg = index.config()
+
+    def search(
+        self,
+        queries: Union[str, Sequence[str], Dict[int, str]],
+        topn: int = 10,
+        include_text: bool = False,
+    ) -> DataFrame:
+        """Reference most_similar surface (literal_similarity.py:416-442):
+        str | list | dict of queries -> ranked hits DataFrame
+        (query_id, rank, doc_id, score [, corpus_doc])."""
+        if isinstance(queries, str):
+            queries = [queries]
+        if isinstance(queries, (list, tuple)):
+            queries = {i: q for i, q in enumerate(queries)}
+        qdf = self.spark.createDataFrame(
+            pd.DataFrame(
+                {"query_id": list(queries.keys()), "text": list(queries.values())}
+            )
+        ).select(F.col("query_id").cast("long"), "text")
+        return self.search_df(qdf, topn=topn, include_text=include_text)
+
+    def search_df(
+        self, queries_df: DataFrame, topn: int = 10, include_text: bool = False
+    ) -> DataFrame:
+        cfg = self.cfg
+        avgdl = self.index.avgdl
+        k1, b, k = cfg.k1, cfg.b, topn
+        prune = cfg.score_mode == "wand"
+
+        tok_udf = make_tokenizer_udf("query")
+        qtok = queries_df.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.posexplode(tok_udf(F.col("text"))).alias("pos", "term"),
+        )
+
+        # independent lineage for the blocks side (queries are tiny; avoids
+        # Spark's ambiguous-self-join trap between the two cogroup inputs)
+        qterms = queries_df.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.explode(tok_udf(F.col("text"))).alias("term"),
+        ).distinct()
+        blocks = self.index.blocks().select(
+            "term",
+            "salt",
+            "block_id",
+            "min_doc",
+            "max_doc",
+            "n_postings",
+            "idf",
+            "max_contrib",
+            "max_g",
+            "min_g",
+            "payload",
+        )
+        # query-term side is tiny -> broadcast into the index scan; Catalyst
+        # pushes the bucket/term equality into the parquet scan
+        qblocks = F.broadcast(qterms).join(blocks, "term", "inner")
+
+        def score_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+            if len(left):
+                qid = int(left["query_id"].iloc[0])
+            else:
+                qid = int(right["query_id"].iloc[0])
+            tokens = list(left.sort_values("pos")["term"])
+            ids, scores, n_matched, needs_pad = _scorer.score_query(
+                tokens, right, k, avgdl, k1, b, prune=prune
+            )
+            return pd.DataFrame(
+                {
+                    "query_id": qid,
+                    "doc_id": ids,
+                    "score": scores,
+                    "n_matched": n_matched,
+                    "needs_pad": needs_pad,
+                }
+            )
+
+        scored = (
+            qtok.groupBy("query_id")
+            .cogroup(qblocks.groupBy("query_id"))
+            .applyInPandas(score_group, _SCORE_SCHEMA)
+        )
+
+        hits = self._pad_and_rank(queries_df, scored, k)
+        if include_text:
+            docs = self.index.docs().select(
+                "doc_id", F.col("text").alias("corpus_doc")
+            )
+            hits = hits.join(docs, "doc_id", "left").select(
+                "query_id", "rank", "doc_id", "score", "corpus_doc"
+            )
+        return hits
+
+    def _pad_and_rank(self, queries_df: DataFrame, scored: DataFrame, k: int) -> DataFrame:
+        """Zero-score padding (reference ranks ALL docs; unmatched score 0.0,
+        ties by ascending doc_id) + final ranking. Padding work only runs for
+        flagged/zero-match queries — never on the happy path at scale."""
+        scored = scored.persist()
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+
+        flagged = [
+            (int(r["query_id"]), int(r["n_matched"]))
+            for r in scored.filter(F.col("needs_pad"))
+            .select("query_id", "n_matched")
+            .distinct()
+            .collect()
+        ]
+        answered = {
+            int(r["query_id"])
+            for r in scored.select("query_id").distinct().collect()
+        }
+        zero_match = [
+            int(r["query_id"])
+            for r in queries_df.select("query_id").distinct().collect()
+            if int(r["query_id"]) not in answered
+        ]
+        pad_ids = [q for q, _ in flagged] + zero_match
+
+        ok = scored.filter(~F.col("needs_pad")).select(
+            "query_id", "doc_id", "score"
+        )
+        if not pad_ids:
+            return ok.withColumn("rank", F.row_number().over(w)).select(
+                "query_id", "rank", "doc_id", "score"
+            )
+
+        max_matched = max([m for _, m in flagged], default=0)
+        low_docs = (
+            self.index.docs()
+            .select("doc_id")
+            .orderBy("doc_id")
+            .limit(k + max_matched)
+        )
+        pad_q = self.spark.createDataFrame(
+            pd.DataFrame({"query_id": pad_ids})
+        ).select(F.col("query_id").cast("long"))
+        zero_rows = (
+            pad_q.crossJoin(F.broadcast(low_docs))
+            .join(
+                scored.select("query_id", "doc_id"),
+                ["query_id", "doc_id"],
+                "left_anti",
+            )
+            .withColumn("score", F.lit(0.0))
+        )
+        pad_rows = (
+            scored.filter(F.col("needs_pad"))
+            .select("query_id", "doc_id", "score")
+            .unionByName(zero_rows)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        ranked_ok = ok.withColumn("rank", F.row_number().over(w))
+        return ranked_ok.unionByName(pad_rows).select(
+            "query_id", "rank", "doc_id", "score"
+        )

@@ -1,0 +1,176 @@
+"""Block-max top-k BM25 scoring kernel (numpy, runs inside applyInPandas).
+
+Strategy: block-max MaxScore, term-at-a-time (TAAT) — chosen over classic
+pointer-chasing DAAT WAND because it vectorizes: every inner step is a numpy
+op over whole blocks, never per-posting Python.
+
+Rank-safety & score-exactness argument (the contract is BIT-IDENTICAL top-k
+scores vs the reference's dense scan, reference rank_bm25.py:100-114):
+
+1. Candidate generation processes unique query terms in descending upper
+   bound ub_t = occ(t) * max(0, max block contrib). After processing a prefix
+   with suffix-sum S, any doc NOT yet seen can reach at most S. We stop
+   admitting new docs only when S < theta_safe, where theta_safe = (k-th best
+   partial) + sum of NEGATIVE lower bounds of unprocessed terms — a certified
+   lower bound on the k-th candidate's FINAL score even when epsilon-floored
+   idfs are negative. Strict '<' keeps ties (broken by doc_id) safe.
+2. Remaining terms then only update existing candidates; blocks are skipped
+   only if no candidate lies in [min_doc, max_doc] (their postings would all
+   belong to non-candidates, which are already bounded out).
+3. Final scores are RECOMPUTED for all candidates by iterating the original
+   query tokens IN ORDER (duplicates per occurrence), accumulating float64
+   contribs — reproducing the reference's summation order exactly, so
+   returned scores are bit-identical, not merely rank-identical.
+4. When fewer than k docs match (or the k-th score is <= 0), zero-score
+   corpus docs are rankable in the reference; the scorer then emits ALL
+   candidates and flags the query for the engine's padding stage. Pruning
+   cannot have fired in this case (pruning requires theta_safe > S >= 0).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pandas as pd
+
+from similarities_spark.index import codec
+
+
+def _merge_acc(
+    ids: np.ndarray, vals: np.ndarray, new_ids: np.ndarray, new_vals: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Merge-accumulate (sorted ids, partial sums) with new contributions."""
+    if ids.size == 0:
+        order = np.argsort(new_ids, kind="mergesort")
+        return new_ids[order], new_vals[order]
+    all_ids = np.concatenate([ids, new_ids])
+    all_vals = np.concatenate([vals, new_vals])
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    sums = np.zeros(uniq.shape, dtype=np.float64)
+    np.add.at(sums, inv, all_vals)
+    return uniq, sums
+
+
+def score_query(
+    tokens: List[str],
+    term_blocks: pd.DataFrame,
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    prune: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, int, bool]:
+    """-> (top doc_ids, exact scores, n_matched, needs_pad).
+
+    ``term_blocks`` columns: term, salt, block_id, min_doc, max_doc,
+    n_postings, idf, max_contrib, payload — only blocks of this query's terms.
+    """
+    if term_blocks is None or len(term_blocks) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64), 0, True
+
+    occ = Counter(tokens)
+    # group block rows per term, in (salt, block_id) order = ascending doc_id
+    term_blocks = term_blocks.sort_values(["term", "salt", "block_id"], kind="mergesort")
+    groups: Dict[str, pd.DataFrame] = {
+        t: g for t, g in term_blocks.groupby("term", sort=False)
+    }
+
+    terms = list(groups.keys())
+    ub = {}
+    lb = {}
+    for t in terms:
+        g = groups[t]
+        idf = float(g["idf"].iloc[0])
+        mx = float(g["max_contrib"].max())
+        # min possible single-posting contribution of this term
+        mn = float(
+            np.minimum(idf * g["max_g"].to_numpy(), idf * g["min_g"].to_numpy()).min()
+        )
+        ub[t] = occ[t] * max(mx, 0.0)
+        lb[t] = occ[t] * min(mn, 0.0)
+    order = sorted(terms, key=lambda t: -ub[t])
+    suffix_ub = np.concatenate([np.cumsum([ub[t] for t in reversed(order)])[::-1], [0.0]])
+    suffix_lb = np.concatenate([np.cumsum([lb[t] for t in reversed(order)])[::-1], [0.0]])
+
+    # decoded postings kept for the exact rescore: term -> (doc_ids, contribs)
+    decoded: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+
+    def decode_term(t: str, restrict_ids: np.ndarray = None) -> Tuple[np.ndarray, np.ndarray]:
+        g = groups[t]
+        idf = float(g["idf"].iloc[0])
+        id_parts, c_parts = [], []
+        for row in g.itertuples(index=False):
+            if restrict_ids is not None:
+                # skip blocks containing no candidate (range check on the
+                # sorted candidate array — the block-metadata skip)
+                lo = np.searchsorted(restrict_ids, row.min_doc, side="left")
+                if lo >= restrict_ids.size or restrict_ids[lo] > row.max_doc:
+                    continue
+            ids_, tfs_, dls_ = codec.decode_block(row.payload)
+            c_ = codec.contribs(tfs_, dls_, idf, avgdl, k1, b)
+            id_parts.append(ids_)
+            c_parts.append(c_)
+        if not id_parts:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return np.concatenate(id_parts), np.concatenate(c_parts)
+
+    cand_ids = np.empty(0, np.int64)
+    cand_partial = np.empty(0, np.float64)
+    pruned = False
+
+    for i, t in enumerate(order):
+        if prune and cand_ids.size >= k:
+            kth = np.partition(cand_partial, cand_partial.size - k)[
+                cand_partial.size - k
+            ]
+            theta_safe = kth + suffix_lb[i]
+            if suffix_ub[i] < theta_safe:
+                pruned = True
+                # remaining terms can no longer admit new candidates: decode
+                # only candidate-overlapping blocks (block-metadata skip);
+                # the exact rescore below consumes the decoded postings
+                for t2 in order[i:]:
+                    decoded[t2] = decode_term(t2, restrict_ids=cand_ids)
+                break
+        ids_, c_ = decode_term(t)
+        decoded[t] = (ids_, c_)
+        cand_ids, cand_partial = _merge_acc(
+            cand_ids, cand_partial, ids_, occ[t] * c_
+        )
+
+    n_matched = int(cand_ids.size)
+    if n_matched == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64), 0, True
+
+    # ---- exact rescore: float64, original token order, dupes per occurrence
+    scores = np.zeros(cand_ids.shape, dtype=np.float64)
+    lookup: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+    for t, (ids_, c_) in decoded.items():
+        if ids_.size == 0:
+            lookup[t] = (np.empty(0, np.int64), np.empty(0, np.float64))
+            continue
+        pos = np.searchsorted(cand_ids, ids_)
+        mask = (pos < cand_ids.size) & (
+            cand_ids[np.minimum(pos, cand_ids.size - 1)] == ids_
+        )
+        lookup[t] = (pos[mask], c_[mask])
+    for tok in tokens:
+        hit = lookup.get(tok)
+        if hit is None:
+            continue  # term absent from index: contributes exactly 0.0
+        pos, c_ = hit
+        scores[pos] += c_
+
+    # ---- rank: stable (score desc, doc_id asc) — lexsort's last key is
+    # primary; equal scores fall back to ascending doc_id
+    order_idx = np.lexsort((cand_ids, -scores))
+    needs_pad = n_matched < k or (
+        n_matched >= k and scores[order_idx[k - 1]] <= 0.0
+    )
+    if needs_pad:
+        assert not pruned, "pruning cannot fire when padding is needed"
+        return cand_ids[order_idx], scores[order_idx], n_matched, True
+    top = order_idx[:k]
+    return cand_ids[top], scores[top], n_matched, False

@@ -1,0 +1,157 @@
+"""End-to-end: synth webtext -> distributed index build -> distributed query
+-> parity vs the vendored single-node oracle (SURVEY §5.1).
+
+The corpus is engineered to exercise: exact-text dedup, CJK + latin tokens,
+stopword filtering, epsilon-floored negative idfs, head-term salting, empty
+docs, duplicate query tokens, unknown terms, and zero-score padding.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from similarities_spark.config import EngineConfig
+from similarities_spark.index.build import BM25IndexBuilder
+from similarities_spark.oracle import BM25Oracle
+from similarities_spark.query.engine import BM25QueryEngine
+from similarities_spark.sources.synth import synth_webtext_pandas
+from similarities_spark.tokenize import tokenize_text
+
+CFG = EngineConfig(
+    stopwords=frozenset({"the", "a", "的"}),
+    block_size=16,
+    num_term_buckets=8,
+    salt_df_threshold=25,  # low threshold so head terms really get salted
+    num_salts=4,
+)
+
+
+def reference_corpus(pdf: pd.DataFrame):
+    """Reference ingestion semantics: order by (warc_ts, url), drop exact-text
+    repeats keeping the first (literal_similarity.py:389-401)."""
+    pdf = pdf.sort_values(["warc_ts", "url"], kind="mergesort")
+    seen, texts = set(), []
+    for t in pdf["text"]:
+        if t in seen:
+            continue
+        seen.add(t)
+        texts.append(t)
+    return texts
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    pdf = synth_webtext_pandas(n_docs=150, seed=7, dup_fraction=0.08)
+    texts = reference_corpus(pdf)
+    assert len(texts) < len(pdf)  # dedup actually exercised
+    idx_dir = str(tmp_path_factory.mktemp("bm25_index"))
+    builder = BM25IndexBuilder(spark, CFG)
+    index = builder.build(
+        spark.createDataFrame(pdf), idx_dir, input_desc="synth-150-seed7"
+    )
+    oracle = BM25Oracle.from_texts(texts, stopwords=CFG.stopwords)
+    return index, oracle, texts
+
+
+QUERIES = [
+    "data web w0005 w0010",
+    "of of data",              # duplicate tokens + likely epsilon-floored term
+    "zzzunknown data",
+    "w0001 w0002 w0003 w0004 w0005 w0006",
+    "的",                      # stopword: indexed never, query keeps it
+    "in is it to and of",      # head terms, floored idfs
+    "w1500",                   # rare tail term -> padding likely at topn=10
+]
+
+
+def _check(index, oracle, queries, topn, max_floor_ulp=1e-9):
+    engine = BM25QueryEngine(index)
+    hits = engine.search(list(queries), topn=topn).collect()
+    by_q = {}
+    for r in hits:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, query in enumerate(queries):
+        tokens = tokenize_text(query, mode="query")
+        expect = oracle.most_similar(tokens, topn=topn)
+        got = sorted(by_q.get(qid, []), key=lambda r: r["rank"])
+        got_ids = [r["doc_id"] for r in got]
+        exp_ids = [d for d, _ in expect]
+        assert got_ids == exp_ids, (
+            f"q{qid} {query!r}: ids {got_ids} != {exp_ids}"
+        )
+        for r, (ed, es) in zip(got, expect):
+            # exact float64 equality except for the documented ulp-level
+            # tolerance on epsilon-floored corpora (average_idf is a
+            # distributed float sum; summation order differs from the oracle)
+            assert r["score"] == pytest.approx(es, rel=1e-12, abs=1e-13), (
+                f"q{qid} doc {ed}: {r['score']!r} != {es!r}"
+            )
+
+
+def test_meta_stats_match_oracle(built):
+    index, oracle, texts = built
+    assert index.n_docs == oracle.n_docs
+    assert index.meta["avgdl"] == oracle.avgdl
+    assert index.meta["vocab_size"] == len(oracle.idf)
+    assert index.meta["average_idf"] == pytest.approx(oracle.average_idf, rel=1e-12)
+
+
+def test_term_stats_match_oracle(built):
+    index, oracle, _ = built
+    stats = {r["term"]: r for r in index.term_stats().collect()}
+    assert set(stats) == set(oracle.idf)
+    for term, row in stats.items():
+        assert row["df"] == oracle.df[term]
+        assert row["idf"] == pytest.approx(oracle.idf[term], rel=1e-12, abs=1e-15)
+
+
+def test_salting_applied_to_head_terms(built):
+    index, oracle, _ = built
+    import pyspark.sql.functions as F
+
+    salted = (
+        index.blocks()
+        .groupBy("term")
+        .agg(F.countDistinct("salt").alias("n_salts"), F.first("df").alias("df"))
+        .filter(F.col("n_salts") > 1)
+        .collect()
+    )
+    assert salted, "no term was salted — threshold not exercised"
+    for r in salted:
+        assert r["df"] >= CFG.salt_df_threshold
+
+
+def test_topk_parity_top10(built):
+    index, oracle, _ = built
+    _check(index, oracle, QUERIES, topn=10)
+
+
+def test_topk_parity_top3(built):
+    index, oracle, _ = built
+    _check(index, oracle, QUERIES, topn=3)
+
+
+def test_include_text_returns_corpus_doc(built):
+    index, oracle, texts = built
+    engine = BM25QueryEngine(index)
+    rows = engine.search("data web", topn=3, include_text=True).collect()
+    for r in rows:
+        assert r["corpus_doc"] == texts[r["doc_id"]]
+
+
+def test_exact_mode_matches_wand_mode(built, spark):
+    index, oracle, _ = built
+    import dataclasses
+
+    exact_cfg = dataclasses.replace(index.config(), score_mode="exact")
+    engine = BM25QueryEngine(index)
+    engine.cfg = exact_cfg
+    hits = engine.search(QUERIES[:3], topn=10).collect()
+    by_q = {}
+    for r in hits:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid in range(3):
+        tokens = tokenize_text(QUERIES[qid], mode="query")
+        expect = oracle.most_similar(tokens, topn=10)
+        got = sorted(by_q[qid], key=lambda r: r["rank"])
+        assert [r["doc_id"] for r in got] == [d for d, _ in expect]
