@@ -1,38 +1,680 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship BM25 top-k over sf0.001 documents.
+queries()     -> one callable per implemented operator (SURVEY.md §2 +
+                 training-pipeline ops); each (spark, sf_dir) -> DataFrame.
+oracle_sql()  -> DuckDB ANSI-SQL equivalents over the same parquet views.
+
+Float policy: every float column is rounded (6dp scores / 9dp rrf) in BOTH
+engines, and rankings order by the ROUNDED value with an id tiebreak, so
+ulp-level summation-order differences between Spark and DuckDB can't flip a
+rank or a hash. BM25 oracles replicate full reference semantics including
+zero-score padding (ALL docs rankable; see similarities_spark/oracle.py).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from similarities_spark.config import EngineConfig
+from similarities_spark.functions import ann, dedup, distances, textops
+from similarities_spark.index.build import BM25Index, BM25IndexBuilder
+from similarities_spark.query.engine import BM25QueryEngine
+from similarities_spark.sources.readers import read_documents_as_webtext
+
+# ---------------------------------------------------------------------------
+# shared constants
+
+TOKEN_RE = textops.TOKEN_RE
+K1, B, EPS = 1.5, 0.75, 0.25
+
+BM25_QUERIES = [
+    "dup key scan",
+    "dup window hash",
+    "stream batch dup",
+    "customer query value",  # all-negative idf -> exercises zero padding
+]
+TOPK = 10
+
+COSINE_QIDS = [0, 1, 2]
+COSINE_K = 5
+
+_INDEX_CACHE: dict = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _get_index(spark: SparkSession, sf_dir: str) -> BM25Index:
+    key = os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        cfg = EngineConfig(
+            stopwords=frozenset(),
+            block_size=128,
+            num_term_buckets=16,
+            salt_df_threshold=300,
+            num_salts=8,
+        )
+        idx_dir = os.path.join(
+            tempfile.gettempdir(), "ss_entry_index", key.strip("/").replace("/", "_")
+        )
+        marker = os.path.join(idx_dir, "meta.json")
+        builder = BM25IndexBuilder(spark, cfg)
+        webtext = read_documents_as_webtext(spark, sf_dir)
+        _INDEX_CACHE[key] = builder.build(
+            webtext, idx_dir, resume=os.path.exists(marker), input_desc=key
+        )
+    return _INDEX_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# tokenized views (JVM regexp — byte-equivalent to the engine tokenizer on
+# this ASCII corpus; dedup keep-first replicates reference ingest semantics)
+
+
+def _dedup_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "text")
+    )
+
+
+def _tok(spark, sf_dir):
+    d = _dedup_docs(spark, sf_dir)
+    return d.select(
+        "doc_id", F.explode(textops.tokens_col(F.col("text"))).alias("term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 operator family
+
+
+def q_bm25_topk(spark, sf_dir):
+    idx = _get_index(spark, sf_dir)
+    hits = BM25QueryEngine(idx).search(BM25_QUERIES, topn=TOPK + 20)
+    docs = idx.docs().select(
+        "doc_id",
+        F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("orig_id"),
+    )
+    j = hits.join(docs, "doc_id").select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 6).alias("score_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_r"), F.asc("doc_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "doc_id", "score_r")
+    )
+
+
+def q_bm25_doc_stats(spark, sf_dir):
+    return (
+        _tok(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("doc_len"))
+        .select(F.col("doc_id").cast("long"), F.col("doc_len").cast("long"))
+    )
+
+
+def q_bm25_postings(spark, sf_dir):
+    return (
+        _tok(spark, sf_dir)
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", F.col("doc_id").cast("long"), F.col("tf").cast("long"))
+    )
+
+
+def q_bm25_term_stats(spark, sf_dir):
+    idx = _get_index(spark, sf_dir)
+    return idx.term_stats().select(
+        "term", F.col("df").cast("long"), F.round("idf", 9).alias("idf_r")
+    )
+
+
+def q_bm25_corpus_stats(spark, sf_dir):
+    idx = _get_index(spark, sf_dir)
+    m = idx.meta
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_docs"]),
+                int(m["vocab_size"]),
+                int(m["total_tokens"]),
+                round(m["avgdl"], 9),
+                round(m["average_idf"], 9),
+            )
+        ],
+        "n_docs long, vocab_size long, total_tokens long, avgdl_r double, average_idf_r double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    return dedup.dup_groups(_docs(spark, sf_dir)).select(
+        "fp", F.col("n_copies").cast("long"), F.col("keep_id").cast("long")
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _dedup_docs(spark, sf_dir), n=3, threshold=0.08
+    ).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "jaccard"
+    )
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _dedup_docs(spark, sf_dir), num_hashes=16, bands=4, n=3
+    ).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+    )
+
+
+def q_simhash64(spark, sf_dir):
+    return dedup.simhash64(_dedup_docs(spark, sf_dir)).select(
+        F.col("id").cast("long"), F.col("simhash").cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def q_text_features(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    return d.select(
+        F.col("doc_id").cast("long"),
+        textops.token_count(t).cast("long").alias("n_tokens"),
+        textops.lang_id(t).alias("lang_pred"),
+        textops.quality_score(t).alias("quality"),
+        textops.token_count_bpeish(t).cast("long").alias("n_tokens_bpeish"),
+        textops.fingerprint(t).alias("fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity / distances
+
+
+def q_cosine_topk(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin(COSINE_QIDS)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    scored = v.crossJoin(F.broadcast(q)).select(
+        F.col("qid").cast("long"),
+        F.col("vec_id").cast("long"),
+        F.round(
+            ann.cosine(F.col("vec"), F.col("qvec").cast("array<double>")), 6
+        ).alias("cosine_r"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= COSINE_K)
+        .select("qid", "rank", "vec_id", "cosine_r")
+    )
+
+
+def q_cosine_dup_pairs(spark, sf_dir):
+    return ann.cosine_dup_pairs(_emb(spark, sf_dir), threshold=0.35).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine"
+    )
+
+
+def q_edit_distance_pairs(spark, sf_dir):
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 30).select(
+        "doc_id", F.substring("text", 1, 40).alias("s")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").cast("long").alias("id_a"),
+            F.col("b.doc_id").cast("long").alias("id_b"),
+            distances.edit_distance(F.col("a.s"), F.col("b.s"))
+            .cast("long")
+            .alias("lev"),
+            distances.edit_similarity(F.col("a.s"), F.col("b.s")).alias("edit_sim"),
+        )
+    )
+
+
+def q_token_jaccard_pairs(spark, sf_dir):
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 40).select("doc_id", "text")
+    a, b = d.alias("a"), d.alias("b")
+    return a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").cast("long").alias("id_a"),
+        F.col("b.doc_id").cast("long").alias("id_b"),
+        distances.token_jaccard(F.col("a.text"), F.col("b.text")).alias("jac"),
+    )
+
+
+def q_rrf_fusion(spark, sf_dir):
+    post = q_bm25_postings(spark, sf_dir)
+
+    def ranking(term):
+        w = Window.orderBy(F.desc("tf"), F.asc("doc_id"))
+        return (
+            post.filter(F.col("term") == term)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 50)
+            .select(F.lit(0).cast("long").alias("query_id"), "doc_id", "rank")
+        )
+
+    fused = distances.rrf_fuse([ranking("dup"), ranking("key")], k=20)
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return fused.select(
+        "query_id",
+        F.col("rank").cast("long"),
+        F.col("doc_id").cast("long"),
+        "rrf_score",
+    )
+
+
+def q_lsh_cosine_topk(spark, sf_dir):
+    """Approximate ANN — deterministic but not SQL-expressible compactly;
+    driver records the weaker rows-only check (documented)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin(COSINE_QIDS)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ann.lsh_cosine_topk(e, q, k=COSINE_K, n_planes=8).select(
+        F.col("qid").cast("long"),
+        F.col("rank").cast("long"),
+        F.col("vec_id").cast("long"),
+        "cosine",
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver surface
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "bm25_topk": q_bm25_topk,
+        "bm25_doc_stats": q_bm25_doc_stats,
+        "bm25_postings": q_bm25_postings,
+        "bm25_term_stats": q_bm25_term_stats,
+        "bm25_corpus_stats": q_bm25_corpus_stats,
+        "exact_dup_groups": q_exact_dup_groups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash64": q_simhash64,
+        "text_features": q_text_features,
+        "cosine_topk": q_cosine_topk,
+        "cosine_dup_pairs": q_cosine_dup_pairs,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "token_jaccard_pairs": q_token_jaccard_pairs,
+        "rrf_fusion": q_rrf_fusion,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+
+
+def _sql_prefix() -> str:
+    """Shared CTEs: dedup (keep-first) + tokenization + BM25 statistics,
+    replicating the engine exactly (see similarities_spark/oracle.py)."""
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS term
+  FROM docs
+),
+dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id),
+nn AS (SELECT count(*)::BIGINT AS n_docs FROM docs),
+avgdl AS (SELECT (SELECT sum(dl) FROM dl) / n_docs AS avgdl FROM nn),
+post AS (
+  SELECT term, doc_id, count(*)::DOUBLE AS tf FROM tok GROUP BY term, doc_id
+),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM post GROUP BY term),
+idf0 AS (
+  SELECT term, df, ln(n_docs - df + 0.5) - ln(df + 0.5) AS idf_raw
+  FROM dfreq, nn
+),
+epsf AS (SELECT {EPS} * avg(idf_raw) AS eps FROM idf0),
+idf AS (
+  SELECT term, df,
+         CASE WHEN idf_raw < 0 THEN (SELECT eps FROM epsf) ELSE idf_raw END AS idf
+  FROM idf0
+)
+"""
+
+
+def _bm25_topk_sql() -> str:
+    values = ",".join(
+        f"({qi},'{t}')"
+        for qi, q in enumerate(BM25_QUERIES)
+        for t in q.split()
+    )
+    return (
+        _sql_prefix()
+        + f""",
+q(query_id, term) AS (VALUES {values}),
+matched AS (
+  SELECT q.query_id, p.doc_id,
+         sum(i.idf * (p.tf * ({K1} + 1) /
+             (p.tf + {K1} * (1 - {B} + {B} * dl.dl / (SELECT avgdl FROM avgdl)))))
+           AS score
+  FROM q
+  JOIN idf i USING (term)
+  JOIN post p ON p.term = q.term
+  JOIN dl ON dl.doc_id = p.doc_id
+  GROUP BY q.query_id, p.doc_id
+),
+allscores AS (
+  -- reference semantics: EVERY doc is rankable; unmatched docs score 0.0
+  SELECT qq.query_id, d.doc_id, coalesce(m.score, 0.0) AS score
+  FROM (SELECT DISTINCT query_id FROM q) qq
+  CROSS JOIN docs d
+  LEFT JOIN matched m ON m.query_id = qq.query_id AND m.doc_id = d.doc_id
+)
+SELECT query_id::BIGINT AS query_id, rank, doc_id::BIGINT AS doc_id, score_r
+FROM (
+  SELECT query_id, doc_id, round(score, 6) AS score_r,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id
+         )::BIGINT AS rank
+  FROM allscores
+)
+WHERE rank <= {TOPK}
+"""
+    )
+
+
+def _simhash_sql() -> str:
+    vote_cols = []
+    for j in range(64):
+        digit = f"(instr('0123456789abcdef', substring(h, {j // 4 + 1}, 1)) - 1)"
+        bit = f"(({digit} >> {3 - (j % 4)}) % 2)"
+        vote_cols.append(
+            f"sum(CASE WHEN {bit} = 1 THEN tf ELSE -tf END) AS v{j}"
+        )
+    weights = []
+    for j in range(64):
+        w = -(2**63) if j == 0 else 2 ** (63 - j)
+        weights.append(f"CASE WHEN v{j} > 0 THEN ({w})::BIGINT ELSE 0 END")
+    return (
+        _sql_prefix()
+        + f""",
+tfs AS (
+  SELECT doc_id AS id, term AS tok, count(*)::BIGINT AS tf,
+         substring(md5(term), 1, 16) AS h
+  FROM tok GROUP BY doc_id, term
+),
+votes AS (SELECT id, {", ".join(vote_cols)} FROM tfs GROUP BY id)
+SELECT id::BIGINT AS id, ({" + ".join(weights)})::BIGINT AS simhash FROM votes
+"""
+    )
+
+
+def _shingle_sql() -> str:
+    """Shared shingle CTE (3-gram over tokens, distinct per doc)."""
+    return f""",
+tokl AS (
+  SELECT doc_id AS id, regexp_extract_all(text, '{TOKEN_RE}') AS toks FROM docs
+),
+sh AS (
+  SELECT id, unnest(list_distinct(
+    CASE WHEN len(toks) >= 3
+         THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+         ELSE [array_to_string(toks, ' ')] END
+  )) AS shingle
+  FROM tokl
+),
+shc AS (SELECT id, shingle FROM sh WHERE shingle <> '')
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pre = _sql_prefix()
+    sqls: dict[str, str] = {}
+
+    sqls["bm25_topk"] = _bm25_topk_sql()
+
+    sqls["bm25_doc_stats"] = (
+        pre
+        + "SELECT doc_id::BIGINT AS doc_id, dl::BIGINT AS doc_len FROM dl"
+    )
+
+    sqls["bm25_postings"] = (
+        pre
+        + "SELECT term, doc_id::BIGINT AS doc_id, tf::BIGINT AS tf FROM post"
+    )
+
+    sqls["bm25_term_stats"] = (
+        pre
+        + "SELECT term, df::BIGINT AS df, round(idf, 9) AS idf_r FROM idf"
+    )
+
+    sqls["bm25_corpus_stats"] = (
+        pre
+        + """
+SELECT n_docs,
+       (SELECT count(*) FROM dfreq)::BIGINT AS vocab_size,
+       (SELECT sum(tf) FROM post)::BIGINT AS total_tokens,
+       round((SELECT avgdl FROM avgdl), 9) AS avgdl_r,
+       round((SELECT avg(idf_raw) FROM idf0), 9) AS average_idf_r
+FROM nn
+"""
+    )
+
+    sqls["exact_dup_groups"] = """
+SELECT md5(text) AS fp, count(*)::BIGINT AS n_copies, min(doc_id)::BIGINT AS keep_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+    sqls["ngram_jaccard_pairs"] = (
+        pre
+        + _shingle_sql()
+        + """,
+sizes AS (SELECT id, count(*)::BIGINT AS n_sh FROM shc GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS i
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       round(i / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(i / (sa.n_sh + sb.n_sh - i), 6) >= 0.08
+"""
+    )
+
+    sqls["minhash_lsh_pairs"] = (
+        pre
+        + _shingle_sql()
+        + """,
+seeds AS (SELECT unnest(range(0, 16)) AS seed),
+sigs AS (
+  SELECT id, seed, min(md5(seed::VARCHAR || '|' || shingle)) AS sig
+  FROM shc, seeds GROUP BY id, seed
+),
+banded AS (
+  SELECT id, (seed // 4)::INT AS band,
+         string_agg(sig, '' ORDER BY sig) AS band_sig
+  FROM sigs GROUP BY id, (seed // 4)::INT
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.band_sig = b.band_sig AND a.id < b.id
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       round(sum(CASE WHEN s1.sig = s2.sig THEN 1 ELSE 0 END) / 16.0, 6)
+         AS est_jaccard
+FROM cand
+JOIN sigs s1 ON s1.id = cand.id_a
+JOIN sigs s2 ON s2.id = cand.id_b AND s2.seed = s1.seed
+GROUP BY id_a, id_b
+"""
+    )
+
+    sqls["simhash64"] = _simhash_sql()
+
+    sqls["text_features"] = f"""
+WITH feat AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{TOKEN_RE}'))::BIGINT AS n_tokens,
+         length(text)::BIGINT AS n_chars,
+         len(list_filter(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+             t -> t IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+           AS n_sw,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g'))::DOUBLE AS n_cjk,
+         length(regexp_replace(text, '[A-Za-z0-9_\\s一-鿿]', '', 'g'))::DOUBLE
+           AS n_punct,
+         text
+  FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id,
+       n_tokens,
+       CASE WHEN n_cjk / greatest(n_chars, 1) > 0.30 THEN 'cjk'
+            WHEN n_cjk / greatest(n_chars, 1) > 0.05 THEN 'mixed'
+            WHEN n_chars / greatest(n_tokens, 1) < 4.5 THEN 'latin_short'
+            ELSE 'latin_long' END AS lang_pred,
+       round((least(n_tokens / 100.0, 1.0)
+              + (1.0 - abs(n_sw / greatest(n_tokens, 1) - 0.25))
+              + (1.0 - least(n_punct / greatest(n_chars, 1) * 4, 1.0))) / 3.0,
+             6) AS quality,
+       greatest(n_tokens, ceil(n_chars / 4.0)::BIGINT) AS n_tokens_bpeish,
+       substring(md5(text), 1, 16) AS fp
+FROM feat
+"""
+
+    qids = ",".join(str(x) for x in COSINE_QIDS)
+    sqls["cosine_topk"] = f"""
+WITH v AS (
+  SELECT vec_id, i, embedding[i]::DOUBLE AS x
+  FROM (SELECT vec_id, embedding,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+),
+q AS (SELECT vec_id AS qid, x AS qx, i FROM v WHERE vec_id IN ({qids})),
+dots AS (
+  SELECT q.qid, v.vec_id,
+         sum(v.x * q.qx) AS dot,
+         sqrt(sum(v.x * v.x)) AS nv,
+         sqrt(sum(q.qx * q.qx)) AS nq
+  FROM v JOIN q ON v.i = q.i
+  GROUP BY q.qid, v.vec_id
+),
+scored AS (
+  SELECT qid::BIGINT AS qid, vec_id::BIGINT AS vec_id,
+         round(dot / (nv * nq), 6) AS cosine_r
+  FROM dots
+)
+SELECT qid, rank, vec_id, cosine_r FROM (
+  SELECT qid, vec_id, cosine_r,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY cosine_r DESC, vec_id
+         )::BIGINT AS rank
+  FROM scored
+) WHERE rank <= {COSINE_K}
+"""
+
+    sqls["cosine_dup_pairs"] = """
+WITH v AS (
+  SELECT vec_id, i, embedding[i]::DOUBLE AS x
+  FROM (SELECT vec_id, embedding,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+)
+SELECT a_id::BIGINT AS id_a, b_id::BIGINT AS id_b, cosine FROM (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         round(sum(a.x * b.x) / (sqrt(sum(a.x * a.x)) * sqrt(sum(b.x * b.x))), 6)
+           AS cosine
+  FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+) WHERE cosine >= 0.35
+"""
+
+    sqls["edit_distance_pairs"] = """
+WITH d AS (
+  SELECT doc_id, substring(text, 1, 40) AS s FROM documents WHERE doc_id < 30
+)
+SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+       levenshtein(a.s, b.s)::BIGINT AS lev,
+       round(1.0 - levenshtein(a.s, b.s)
+             / greatest(length(a.s), length(b.s), 1), 6) AS edit_sim
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+"""
+
+    sqls["token_jaccard_pairs"] = f"""
+WITH d AS (
+  SELECT doc_id, list_distinct(regexp_extract_all(text, '{TOKEN_RE}')) AS toks
+  FROM documents WHERE doc_id < 40
+)
+SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
+       round(len(list_intersect(a.toks, b.toks))
+             / greatest(len(list_distinct(a.toks || b.toks)), 1), 6) AS jac
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+"""
+
+    sqls["rrf_fusion"] = (
+        pre
+        + """,
+r1 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS rank
+  FROM post WHERE term = 'dup' QUALIFY rank <= 50
+),
+r2 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS rank
+  FROM post WHERE term = 'key' QUALIFY rank <= 50
+),
+u AS (
+  SELECT doc_id, 1.0 / (rank + 60) AS part FROM r1
+  UNION ALL
+  SELECT doc_id, 1.0 / (rank + 60) AS part FROM r2
+),
+fused AS (
+  SELECT doc_id, round(sum(part), 9) AS rrf_score FROM u GROUP BY doc_id
+)
+SELECT 0::BIGINT AS query_id,
+       row_number() OVER (ORDER BY rrf_score DESC, doc_id)::BIGINT AS rank,
+       doc_id::BIGINT AS doc_id, rrf_score
+FROM fused QUALIFY rank <= 20
+"""
+    )
+
+    # lsh_cosine_topk: intentionally no SQL oracle (approximate ANN; driver
+    # records the rows-only check).
+    return sqls

@@ -1,0 +1,122 @@
+"""Headline benchmark. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Workload (SPARK_GRAFT_SF_DIR, default /root/testdata/sf0.1, on
+local[SPARK_GRAFT_CPUS]):
+  index_build       : full BM25 inverted-index build over `documents`
+  bm25_batch        : 200 deterministic BM25 queries, top-10 (queries/sec)
+  bm25_small_batch  : 20-query latency-ish batch
+  minhash_lsh       : MinHash-LSH near-dup pass over the corpus
+  simhash64         : SimHash fingerprints for the corpus
+  cosine_topk       : brute-force cosine top-5 for 10 query vectors
+  text_features     : language/quality/token features full scan
+
+Extra keys (informational): docs_per_sec (index build), queries_per_sec
+(bm25_batch), n_docs.
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("similarities-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(8, int(cpus))))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from similarities_spark.config import EngineConfig
+    from similarities_spark.functions import ann, dedup, textops
+    from similarities_spark.index.build import BM25IndexBuilder
+    from similarities_spark.query.engine import BM25QueryEngine
+    from similarities_spark.sources.readers import read_documents_as_webtext
+
+    timings = {}
+
+    def clock(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- index build ---
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    cfg = EngineConfig(
+        stopwords=frozenset(),
+        block_size=128,
+        num_term_buckets=int(cpus),
+        salt_df_threshold=2000,
+        num_salts=8,
+    )
+    webtext = read_documents_as_webtext(spark, sf_dir)
+    builder = BM25IndexBuilder(spark, cfg)
+    index = clock("index_build", lambda: builder.build(webtext, idx_dir, input_desc=sf_dir))
+    n_docs = index.n_docs
+
+    # --- deterministic query workload over the corpus vocabulary ---
+    terms = [
+        r["term"]
+        for r in index.term_stats().orderBy(F.desc("df")).limit(40).collect()
+    ]
+    qs = []
+    for i in range(200):
+        a, b, c = terms[i % len(terms)], terms[(i * 7 + 3) % len(terms)], terms[
+            (i * 13 + 11) % len(terms)
+        ]
+        qs.append(f"{a} {b} {c}")
+    engine = BM25QueryEngine(index)
+    clock("bm25_batch", lambda: engine.search(qs, topn=10).count())
+    clock("bm25_small_batch", lambda: engine.search(qs[:20], topn=10).count())
+
+    # --- pipeline operators ---
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    clock(
+        "minhash_lsh",
+        lambda: dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4).count(),
+    )
+    clock("simhash64", lambda: dedup.simhash64(docs).count())
+    qv = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    clock("cosine_topk", lambda: ann.cosine_topk(emb, qv, k=5).count())
+    clock(
+        "text_features",
+        lambda: textops.add_text_features(docs).select(F.sum("n_tokens")).collect(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "bm25_index_and_query_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": int(cpus),
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / timings["index_build"], 1),
+        "queries_per_sec": round(200 / timings["bm25_batch"], 1),
+    }
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

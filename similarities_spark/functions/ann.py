@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk       : exact brute-force top-k — the correctness baseline.
+                      JVM-side zip_with/aggregate dot products, window top-k.
+- lsh_cosine_topk   : random-hyperplane LSH bucketing — the scale path:
+                      probes only same-bucket candidates (plus multi-probe
+                      neighbors), then exact-rescoring. Recall<1 by design.
+- cosine_dup_pairs  : near-duplicate pairs above a cosine threshold.
+
+Scale notes: brute force is a broadcast of the (small) query set against a
+full scan — linear, embarrassingly parallel, no shuffle of the corpus. The
+LSH variant turns the all-pairs problem into a bucket groupBy. For 10^12
+vectors an IVF layout (k-means coarse quantizer as partition key) slots into
+the same API; the bucketing column is the only thing that changes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries x full scan, window top-k.
+    Ties broken by ascending vector id (stable, like the BM25 ranking)."""
+    q = queries.select(
+        F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    scored = v.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        cosine(F.col("vec"), F.col("qvec").cast("array<double>")).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def cosine_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold. All-pairs at test
+    scale; at web scale feed candidates from lsh buckets instead."""
+    v = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim)).astype(np.float64)
+
+
+def lsh_bucket_col(vec, planes: np.ndarray):
+    """Random-hyperplane signature: bit i = sign(vec . plane_i). Built as a
+    Catalyst expression tree over array ops (planes are literals — small)."""
+    acc = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = (_dot(vec, plane) >= 0).cast("long")
+        acc = acc + bit * F.lit(int(2**i)).cast("long")
+    return acc
+
+
+def lsh_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: Optional[int] = None,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Approximate top-k: candidates = vectors in the query's LSH bucket or
+    any 1-bit-flip neighbor bucket (multi-probe), exact cosine on those."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).withColumn("bucket", lsh_bucket_col(F.col("vec"), planes))
+    q = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.col(qvec_col).cast("array<double>").alias("qvec"),
+    ).withColumn("qbucket", lsh_bucket_col(F.col("qvec"), planes))
+    # multi-probe: query bucket plus all 1-bit flips
+    probes = q.select(
+        "qid",
+        "qvec",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(int(2**i)).cast("long"))
+                    for i in range(n_planes)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    cand = v.join(F.broadcast(probes), "bucket").select(
+        "qid", "vec_id", cosine(F.col("vec"), F.col("qvec")).alias("cosine")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,270 @@
+"""Deduplication operators for training-data pipelines, Spark-first.
+
+Five tiers, cheapest to richest (all shuffle-on-key, no cross joins except
+where a candidate-pair generator bounds the pair set first):
+
+- exact_dedup            : hash-groupBy on full text (or fingerprint)
+- ngram_jaccard_pairs    : EXACT n-gram Jaccard via shingle inverted join
+                           (the candidate generator IS the shingle join —
+                           only pairs sharing >=1 shingle are ever formed)
+- minhash_lsh_pairs      : MinHash banding — the 100TB-scale approximate
+                           path; candidates = bucket-join on band signature
+- simhash64              : 64-bit SimHash fingerprints (near-dup hamming)
+- embedding near-dup     : see functions/ann.py (cosine threshold join)
+
+MD5 is used as the portable hash everywhere (identical hex output in Spark,
+DuckDB, Python) so oracles can replicate results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from similarities_spark.functions.textops import tokens_col
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep-first exact-text dedup (reference add_corpus semantics,
+    literal_similarity.py:394,399): one row per distinct text, lowest id wins.
+    Scale note: groupBy on md5(text) — 16-byte keys, not full documents."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate clusters: (fp, n_copies, keep_id) for groups size>1."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def shingles_df(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct n-gram shingles per doc: (id, shingle). Built with JVM array
+    ops (transform/sequence/slice) — no Python UDF."""
+    toks = tokens_col(F.col(text_col))
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)) - 0),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    # docs shorter than n tokens produce their whole text as one shingle
+    sh = F.when(F.size(toks) >= n, sh).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle")
+    ).where(F.col("shingle") != "")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity for every pair sharing >=1 shingle.
+
+    Plan: shingle inverted index self-join (equi-join on shingle — the
+    shuffle key), count intersections per pair, then |A|+|B|-inter for the
+    union. Never forms non-overlapping pairs, so the blow-up is bounded by
+    shingle co-occurrence, not n^2. Zipf-head shingles should be dropped at
+    scale (see minhash_lsh_pairs for the truly-huge path).
+    """
+    sh = shingles_df(df, n=n, text_col=text_col, id_col=id_col).persist()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    bdf = sh.alias("b")
+    inter = (
+        a.join(bdf, F.col("a.shingle") == F.col("b.shingle"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "sh_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sh_a") + F.col("sh_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature per doc: for seed s, sig_s = min over shingles of
+    md5(s || shingle) (fixed-width hex => lexicographic == numeric order).
+    Output: (id, seed, sig). Portable: any engine with md5 reproduces it."""
+    sh = shingles_df(df, n=n, text_col=text_col, id_col=id_col)
+    seeds = F.explode(
+        F.array(*[F.lit(s) for s in range(num_hashes)])
+    ).alias("seed")
+    return (
+        sh.select("id", "shingle", seeds)
+        .withColumn(
+            "h", F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")))
+        )
+        .groupBy("id", "seed")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH banding over MinHash signatures: docs agreeing on ALL rows of any
+    band become candidate pairs (est_jaccard = fraction of matching hashes).
+
+    This is the web-scale near-dup path: cost is a groupBy on (band, band
+    signature) + per-bucket pairing — no shingle self-join, no n^2.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, num_hashes=num_hashes, n=n, text_col=text_col, id_col=id_col
+    )
+    banded = (
+        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("id", "band")
+        .agg(F.concat_ws("", F.sort_array(F.collect_list("sig"))).alias("band_sig"))
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # estimate similarity from full signatures for the surviving candidates
+    s1 = sigs.select(F.col("id").alias("id_a"), "seed", F.col("sig").alias("sig_a"))
+    s2 = sigs.select(F.col("id").alias("id_b"), "seed", F.col("sig").alias("sig_b"))
+    est = (
+        cand.join(s1, "id_a")
+        .join(s2, ["id_b", "seed"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            (F.sum((F.col("sig_a") == F.col("sig_b")).cast("int")) / num_hashes).alias(
+                "est_jaccard"
+            )
+        )
+    )
+    return est
+
+
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash from md5 of tokens (tf-weighted bit votes), matching
+    the reference's weighted-feature design (literal_similarity.py:88-117)
+    but with a portable md5 bit source instead of its custom string_hash.
+
+    Pure Catalyst: explode tokens -> tf weights -> per-bit vote aggregation
+    via stack of bit tests on the md5 hex prefix (16 hex digits = 64 bits).
+    Output (id, simhash: bigint as unsigned-interpreted long).
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", F.substring(F.md5(F.col("tok")), 1, 16))
+    )
+    # vote for bit j: +tf if bit set else -tf; bit j of hex h = bit (3 - j%4)
+    # of digit j//4. digit value via instr on the hex alphabet (portable).
+    votes = []
+    for j in range(64):
+        digit = F.expr(
+            f"instr('0123456789abcdef', substring(h, {j // 4 + 1}, 1)) - 1"
+        )
+        bit = F.shiftright(digit, 3 - (j % 4)) % 2
+        votes.append(
+            F.sum(F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf"))).alias(f"v{j}")
+        )
+    agg = toks.groupBy("id").agg(*votes)
+    acc = F.lit(0).cast("long")
+    for j in range(64):
+        acc = acc + F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ) * F.lit(2 ** (63 - j) if j > 0 else -(2 ** 63)).cast("long")
+    return agg.select("id", acc.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    sim_df: DataFrame, max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+    Candidate generation: block on 4 x 16-bit chunks (a pair within hamming
+    8 of 64 bits must agree exactly on >=1 of 8 8-bit chunks in expectation;
+    we use 16-bit chunks, exact for max_hamming<=3 per pigeonhole with 4
+    chunks, approximate above). bit_count(a XOR b) verifies exactly."""
+    chunks = sim_df.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16).bitwiseAND(
+                            F.lit(0xFFFF)
+                        ).alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", "simhash", F.col("ch.chunk").alias("chunk"), F.col("ch.val").alias("val"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

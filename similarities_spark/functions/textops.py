@@ -1,0 +1,101 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Catalyst column expressions (JVM-side, whole-stage codegen, no
+Python in the hot path) so they hold up on a 1000-executor scan of 100 TB:
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+The tokenization regex matches the engine's fallback tokenizer
+(similarities_spark/tokenize.py) so text features and the BM25 index agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+TOKEN_RE = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+# tiny fixed stopword list for quality features (public English stopwords)
+QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def tokens_col(text: Column) -> Column:
+    """JVM-side tokenization (regexp_extract_all) — identical semantics to
+    the Python fallback tokenizer, but runs in whole-stage codegen."""
+    return F.regexp_extract_all(text, F.lit(TOKEN_RE), 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def cjk_ratio(text: Column) -> Column:
+    """Fraction of CJK codepoints — the language-ID signal."""
+    cjk = F.length(F.regexp_replace(text, r"[^一-鿿]", ""))
+    return cjk / F.greatest(F.length(text), F.lit(1))
+
+
+def lang_id(text: Column) -> Column:
+    """Deterministic n-gram-free language heuristic: scripts + word shape.
+    (The reference carries a per-row lang column; this recomputes a label
+    from content so mislabeled rows can be caught at scale.)"""
+    ratio = cjk_ratio(text)
+    avg_wlen = char_count(text) / F.greatest(token_count(text), F.lit(1))
+    return (
+        F.when(ratio > 0.30, F.lit("cjk"))
+        .when(ratio > 0.05, F.lit("mixed"))
+        .when(avg_wlen < 4.5, F.lit("latin_short"))
+        .otherwise(F.lit("latin_long"))
+    )
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens_col(F.lower(text))
+    sw = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_sw / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text: Column) -> Column:
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9_\s一-鿿]", ""))
+    return punct / F.greatest(F.length(text), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length sweet-spot, sane stopword
+    share, low punctuation noise. Deterministic closed form -> SQL oracle."""
+    n_tok = token_count(text)
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    sw = stopword_ratio(text)
+    sw_score = F.lit(1.0) - F.abs(sw - F.lit(0.25))
+    p_score = F.lit(1.0) - F.least(punct_ratio(text) * 4, F.lit(1.0))
+    return F.round((len_score + sw_score + p_score) / 3.0, 6)
+
+
+def token_count_bpeish(text: Column) -> Column:
+    """BPE-ish token estimate: whitespace words plus a char/4 subword term —
+    the standard cheap proxy when no tokenizer model ships with the job."""
+    words = token_count(text)
+    subword = F.ceil(F.length(text) / F.lit(4.0))
+    return F.greatest(words, subword.cast("long"))
+
+
+def fingerprint(text: Column) -> Column:
+    """64-bit-equivalent content fingerprint: first 16 hex chars of md5 —
+    portable across engines (exact dedup / shard-stable sampling key)."""
+    return F.substring(F.md5(text), 1, 16)
+
+
+def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        lang_id(t).alias("lang_pred"),
+        quality_score(t).alias("quality"),
+        token_count_bpeish(t).alias("n_tokens_bpeish"),
+        fingerprint(t).alias("fp"),
+    )
