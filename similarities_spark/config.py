@@ -36,6 +36,7 @@ class EngineConfig:
 
     # --- checkpointing ---
     checkpoint_dir: Optional[str] = None  # manifests + resumability; None = off
+    checkpoint_groups: int = 4  # resume granularity: bucket groups per build
 
     def salt_bounds(self, n_docs: int):
         """Doc-id range boundaries shared by ALL salted terms.

@@ -302,6 +302,7 @@ class BM25IndexBuilder:
                 "num_salts": cfg.num_salts,
                 "score_mode": cfg.score_mode,
                 "checkpoint_dir": cfg.checkpoint_dir,
+                "checkpoint_groups": cfg.checkpoint_groups,
             },
         }
         with open(os.path.join(index_dir, "meta.json"), "w", encoding="utf-8") as f:
@@ -421,7 +422,22 @@ class BM25IndexBuilder:
             if os.path.isdir(part_dir):
                 shutil.rmtree(part_dir)
 
-        group_size = max(1, len(all_buckets) // 8)
+        # per-bucket metrics in ONE job (not one per group) — the group loop
+        # below then only pays the write
+        metrics = {
+            int(r["bucket"]): r
+            for r in blocks.groupBy("bucket")
+            .agg(
+                F.countDistinct("term").alias("n_terms"),
+                F.sum("n_postings").alias("n_postings"),
+                F.count(F.lit(1)).alias("n_blocks"),
+                F.sum(F.length("payload")).alias("payload_bytes"),
+            )
+            .collect()
+        }
+
+        n_groups = max(1, cfg.checkpoint_groups)
+        group_size = max(1, (len(all_buckets) + n_groups - 1) // n_groups)
         groups = [todo[i : i + group_size] for i in range(0, len(todo), group_size)]
         for gi, grp in enumerate(groups):
             if fail_after_groups is not None and gi >= fail_after_groups:
@@ -430,17 +446,6 @@ class BM25IndexBuilder:
                 )
             t0 = time.time()
             part = blocks.filter(F.col("bucket").isin(grp))
-            metrics = {
-                int(r["bucket"]): r
-                for r in part.groupBy("bucket")
-                .agg(
-                    F.countDistinct("term").alias("n_terms"),
-                    F.sum("n_postings").alias("n_postings"),
-                    F.count(F.lit(1)).alias("n_blocks"),
-                    F.sum(F.length("payload")).alias("payload_bytes"),
-                )
-                .collect()
-            }
             (
                 part.repartition(max(1, len(grp)), "bucket")
                 .sortWithinPartitions("term", "salt", "block_id")

@@ -153,28 +153,31 @@ class BM25QueryEngine:
     def _pad_and_rank(self, queries_df: DataFrame, scored: DataFrame, k: int) -> DataFrame:
         """Zero-score padding (reference ranks ALL docs; unmatched score 0.0,
         ties by ascending doc_id) + final ranking. Padding work only runs for
-        flagged/zero-match queries — never on the happy path at scale."""
+        flagged/zero-match queries — never on the happy path at scale.
+
+        ONE driver collect decides the padding set: a left join of the query
+        ids against a per-query scored summary (pad flag + match count)."""
         scored = scored.persist()
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
 
+        summary = scored.groupBy("query_id").agg(
+            F.max(F.col("needs_pad").cast("int")).alias("pad"),
+            F.max("n_matched").alias("n_matched"),
+        )
+        status = (
+            queries_df.select(F.col("query_id").cast("long").alias("query_id"))
+            .distinct()
+            .join(summary, "query_id", "left")
+            .collect()
+        )
         flagged = [
             (int(r["query_id"]), int(r["n_matched"]))
-            for r in scored.filter(F.col("needs_pad"))
-            .select("query_id", "n_matched")
-            .distinct()
-            .collect()
+            for r in status
+            if r["pad"] == 1
         ]
-        answered = {
-            int(r["query_id"])
-            for r in scored.select("query_id").distinct().collect()
-        }
-        zero_match = [
-            int(r["query_id"])
-            for r in queries_df.select("query_id").distinct().collect()
-            if int(r["query_id"]) not in answered
-        ]
+        zero_match = [int(r["query_id"]) for r in status if r["pad"] is None]
         pad_ids = [q for q, _ in flagged] + zero_match
 
         ok = scored.filter(~F.col("needs_pad")).select(

@@ -141,7 +141,8 @@ def synth_webtext_distributed(spark, n_docs: int, seed: int = 42, partitions: in
                 _EPOCH + _dt.timedelta(seconds=i) for i in range(lo, hi)
             ]
             for r in pdf.itertuples(index=False):
-                yield (r.url, r.warc_ts, r.html, r.text, r.lang)
+                ts = r.warc_ts.to_pydatetime() if hasattr(r.warc_ts, "to_pydatetime") else r.warc_ts
+                yield (r.url, ts, r.html, r.text, r.lang)
 
     base = spark.range(partitions).repartition(partitions, "id")
     return spark.createDataFrame(base.rdd.flatMap(lambda r: gen([r])), schema)
