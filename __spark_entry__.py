@@ -123,6 +123,40 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def _bm25_variant_topk(spark, sf_dir, variant: str):
+    """BM25L / BM25Plus top-k over the SAME physical index (idf and
+    contributions recomputed at decode time from stored tf/dl/df)."""
+    import dataclasses
+
+    idx = _get_index(spark, sf_dir)
+    engine = BM25QueryEngine(idx)
+    engine.cfg = dataclasses.replace(engine.cfg, variant=variant)
+    hits = engine.search(BM25_QUERIES, topn=TOPK + 20)
+    docs = idx.docs().select(
+        "doc_id",
+        F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("orig_id"),
+    )
+    j = hits.join(docs, "doc_id").select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("orig_id").alias("doc_id"),
+        F.round("score", 6).alias("score_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_r"), F.asc("doc_id"))
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "rank", "doc_id", "score_r")
+    )
+
+
+def q_bm25l_topk(spark, sf_dir):
+    return _bm25_variant_topk(spark, sf_dir, "bm25l")
+
+
+def q_bm25plus_topk(spark, sf_dir):
+    return _bm25_variant_topk(spark, sf_dir, "bm25plus")
+
+
 def q_bm25_doc_stats(spark, sf_dir):
     return (
         _tok(spark, sf_dir)
@@ -297,6 +331,97 @@ def q_rrf_fusion(spark, sf_dir):
     )
 
 
+TFIDF_QUERIES = ["dup key scan merge", "window hash stream"]
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Sparse TFIDF retrieval (reference TfidfSimilarity analog) — smooth
+    idf ln((N+1)/(df+1))+1 from the CORPUS on both sides, sparse cosine,
+    rounded-rank top-5."""
+    from similarities_spark.functions import tfidf as tfidf_mod
+
+    d = _dedup_docs(spark, sf_dir)
+    cv = tfidf_mod.tfidf_vectors(d)
+    tokq = spark.createDataFrame(
+        [
+            (qi, t)
+            for qi, q in enumerate(TFIDF_QUERIES)
+            for t in q.split()
+        ],
+        "query_id long, term string",
+    ).groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("qtf"))
+    n_docs = d.count()
+    post = q_bm25_postings(spark, sf_dir)
+    idf_s = (
+        post.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .withColumn(
+            "idf", F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+        )
+    )
+    wq0 = tokq.join(idf_s.select("term", "idf"), "term").withColumn(
+        "wq", F.col("qtf") * F.col("idf")
+    )
+    qnorm = wq0.groupBy("query_id").agg(
+        F.sqrt(F.sum(F.col("wq") * F.col("wq"))).alias("nq")
+    )
+    q = wq0.join(qnorm, "query_id").select("query_id", "term", "wq", "nq")
+    c = cv.select(
+        F.col("id").alias("doc_id"), "term", F.col("w").alias("wc"), F.col("norm").alias("nc")
+    )
+    dots = (
+        c.join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("wc") * F.col("wq")) / (F.first("nc") * F.first("nq")), 6
+            ).alias("cosine_r")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_r"), F.asc("doc_id"))
+    return (
+        dots.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("query_id").cast("long"),
+            "rank",
+            F.col("doc_id").cast("long"),
+            "cosine_r",
+        )
+    )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over n-gram-Jaccard near-dup pairs — the
+    distributed dedup-clustering operator (community_detection analog)."""
+    from similarities_spark.functions import graph
+
+    pairs = dedup.ngram_jaccard_pairs(_dedup_docs(spark, sf_dir), n=3, threshold=0.08)
+    comps = graph.connected_components(pairs.select("id_a", "id_b"))
+    return comps.select(F.col("id").cast("long"), F.col("comp").cast("long"))
+
+
+def q_mrr_eval(spark, sf_dir):
+    """MRR@10 of the BM25 ranking against deterministic synthetic qrels
+    (relevant = docs with tf >= 2 of the query's FIRST term) — exercises the
+    evaluation operator family end-to-end."""
+    from similarities_spark import evaluation
+
+    hits = q_bm25_topk(spark, sf_dir).select("query_id", "rank", "doc_id")
+    post = q_bm25_postings(spark, sf_dir)
+    first_terms = spark.createDataFrame(
+        [(i, q.split()[0]) for i, q in enumerate(BM25_QUERIES)],
+        "query_id long, term string",
+    )
+    qrels = (
+        first_terms.join(post, "term")
+        .filter(F.col("tf") >= 2)
+        .select("query_id", "doc_id", F.lit(1).alias("relevance"))
+    )
+    out = evaluation.mrr_at_k(hits, qrels, ks=[10])
+    return out.select(F.col("k").cast("long"), F.round("mrr", 9).alias("mrr_r"))
+
+
 def q_lsh_cosine_topk(spark, sf_dir):
     """Approximate ANN — deterministic but not SQL-expressible compactly;
     driver records the weaker rows-only check (documented)."""
@@ -324,6 +449,8 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_topk": q_bm25_topk,
+        "bm25l_topk": q_bm25l_topk,
+        "bm25plus_topk": q_bm25plus_topk,
         "bm25_doc_stats": q_bm25_doc_stats,
         "bm25_postings": q_bm25_postings,
         "bm25_term_stats": q_bm25_term_stats,
@@ -339,6 +466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "rrf_fusion": q_rrf_fusion,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "tfidf_topk": q_tfidf_topk,
+        "dedup_clusters": q_dedup_clusters,
+        "mrr_eval": q_mrr_eval,
     }
 
 
@@ -378,7 +508,9 @@ idf AS (
 """
 
 
-def _bm25_topk_sql() -> str:
+def _bm25_hits_prefix() -> str:
+    """Shared prefix computing the ranked BM25 hits CTE ``hits`` (full
+    reference semantics incl. zero-score padding)."""
     values = ",".join(
         f"({qi},'{t}')"
         for qi, q in enumerate(BM25_QUERIES)
@@ -405,6 +537,64 @@ allscores AS (
   FROM (SELECT DISTINCT query_id FROM q) qq
   CROSS JOIN docs d
   LEFT JOIN matched m ON m.query_id = qq.query_id AND m.doc_id = d.doc_id
+),
+hits AS (
+  SELECT query_id, doc_id, round(score, 6) AS score_r,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id
+         )::BIGINT AS rank
+  FROM allscores
+)
+"""
+    )
+
+
+def _bm25_topk_sql() -> str:
+    return (
+        _bm25_hits_prefix()
+        + f"""
+SELECT query_id::BIGINT AS query_id, rank, doc_id::BIGINT AS doc_id, score_r
+FROM hits WHERE rank <= {TOPK}
+"""
+    )
+
+
+def _bm25_variant_sql(variant: str) -> str:
+    values = ",".join(
+        f"({qi},'{t}')"
+        for qi, q in enumerate(BM25_QUERIES)
+        for t in q.split()
+    )
+    tfv = "coalesce(p.tf, 0.0)"
+    nrm = f"(1 - {B} + {B} * dl.dl / (SELECT avgdl FROM avgdl))"
+    if variant == "bm25l":
+        idf_expr = "ln(n_docs + 1) - ln(df + 0.5)"
+        delta = 0.5
+        ctd = f"({tfv} / {nrm})"
+        contrib = (
+            f"i.idf * {tfv} * ({K1} + 1) * ({ctd} + {delta})"
+            f" / ({K1} + {ctd} + {delta})"
+        )
+    else:  # bm25plus
+        idf_expr = "ln((n_docs + 1) / df)"
+        delta = 1.0
+        contrib = (
+            f"i.idf * ({delta} + ({tfv} * ({K1} + 1)) / ({K1} * {nrm} + {tfv}))"
+        )
+    return (
+        _sql_prefix()
+        + f""",
+idf_v AS (SELECT term, {idf_expr} AS idf FROM dfreq, nn),
+q(query_id, term) AS (VALUES {values}),
+allsc AS (
+  SELECT q.query_id, d.doc_id,
+         sum(CASE WHEN i.idf IS NULL THEN 0.0 ELSE {contrib} END) AS score
+  FROM q
+  CROSS JOIN docs d
+  LEFT JOIN idf_v i ON i.term = q.term
+  LEFT JOIN post p ON p.term = q.term AND p.doc_id = d.doc_id
+  JOIN dl ON dl.doc_id = d.doc_id
+  GROUP BY q.query_id, d.doc_id
 )
 SELECT query_id::BIGINT AS query_id, rank, doc_id::BIGINT AS doc_id, score_r
 FROM (
@@ -412,9 +602,116 @@ FROM (
          row_number() OVER (
            PARTITION BY query_id ORDER BY round(score, 6) DESC, doc_id
          )::BIGINT AS rank
-  FROM allscores
+  FROM allsc
+) WHERE rank <= {TOPK}
+"""
+    )
+
+
+def _mrr_eval_sql() -> str:
+    first_terms = ",".join(
+        f"({qi},'{q.split()[0]}')" for qi, q in enumerate(BM25_QUERIES)
+    )
+    return (
+        _bm25_hits_prefix()
+        + f""",
+ft(query_id, term) AS (VALUES {first_terms}),
+qrels AS (
+  SELECT ft.query_id, p.doc_id
+  FROM ft JOIN post p USING (term) WHERE p.tf >= 2
+),
+firsts AS (
+  SELECT h.query_id, min(h.rank) AS first_rank
+  FROM hits h JOIN qrels r ON h.query_id = r.query_id AND h.doc_id = r.doc_id
+  WHERE h.rank <= {TOPK}
+  GROUP BY h.query_id
 )
-WHERE rank <= {TOPK}
+SELECT {TOPK}::BIGINT AS k,
+       round(coalesce(sum(1.0 / first_rank), 0.0)
+             / (SELECT count(DISTINCT query_id) FROM qrels), 9) AS mrr_r
+FROM firsts
+"""
+    )
+
+
+def _tfidf_topk_sql() -> str:
+    qvalues = ",".join(
+        f"({qi},'{t}')"
+        for qi, q in enumerate(TFIDF_QUERIES)
+        for t in q.split()
+    )
+    return (
+        _sql_prefix()
+        + f""",
+idf_s AS (
+  SELECT term, ln((n_docs + 1.0) / (df + 1.0)) + 1.0 AS idf FROM dfreq, nn
+),
+wdoc AS (
+  SELECT p.doc_id, p.term, p.tf * i.idf AS w
+  FROM post p JOIN idf_s i USING (term)
+),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nc FROM wdoc GROUP BY doc_id),
+tq(query_id, term) AS (VALUES {qvalues}),
+qtf AS (SELECT query_id, term, count(*)::DOUBLE AS qtf FROM tq GROUP BY 1, 2),
+wq AS (
+  SELECT q.query_id, q.term, q.qtf * i.idf AS w
+  FROM qtf q JOIN idf_s i USING (term)
+),
+qnorms AS (SELECT query_id, sqrt(sum(w * w)) AS nq FROM wq GROUP BY query_id),
+dots AS (
+  SELECT wq.query_id, wdoc.doc_id,
+         round(sum(wdoc.w * wq.w) / (any_value(norms.nc) * any_value(qnorms.nq)), 6)
+           AS cosine_r
+  FROM wq
+  JOIN wdoc USING (term)
+  JOIN norms ON norms.doc_id = wdoc.doc_id
+  JOIN qnorms ON qnorms.query_id = wq.query_id
+  GROUP BY wq.query_id, wdoc.doc_id
+)
+SELECT query_id::BIGINT AS query_id, rank, doc_id::BIGINT AS doc_id, cosine_r
+FROM (
+  SELECT query_id, doc_id, cosine_r,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine_r DESC, doc_id
+         )::BIGINT AS rank
+  FROM dots
+) WHERE rank <= 5
+"""
+    )
+
+
+def _dedup_clusters_sql() -> str:
+    base = _sql_prefix() + _shingle_sql()
+    # recursive closure needs WITH RECURSIVE up front
+    base = base.replace("WITH docs AS", "WITH RECURSIVE docs AS", 1)
+    return (
+        base
+        + """,
+sizes AS (SELECT id, count(*)::BIGINT AS n_sh FROM shc GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS i
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE round(i / (sa.n_sh + sb.n_sh - i), 6) >= 0.08
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b AS a, id_a AS b FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+walk(id, comp) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.a, w.comp FROM edges e JOIN walk w ON w.id = e.b
+)
+SELECT id::BIGINT AS id, min(comp)::BIGINT AS comp FROM walk GROUP BY id
 """
     )
 
@@ -674,6 +971,12 @@ SELECT 0::BIGINT AS query_id,
 FROM fused QUALIFY rank <= 20
 """
     )
+
+    sqls["bm25l_topk"] = _bm25_variant_sql("bm25l")
+    sqls["bm25plus_topk"] = _bm25_variant_sql("bm25plus")
+    sqls["tfidf_topk"] = _tfidf_topk_sql()
+    sqls["dedup_clusters"] = _dedup_clusters_sql()
+    sqls["mrr_eval"] = _mrr_eval_sql()
 
     # lsh_cosine_topk: intentionally no SQL oracle (approximate ANN; driver
     # records the rows-only check).

@@ -35,6 +35,7 @@ def main():
         .appName("similarities-spark-bench")
         .config("spark.sql.shuffle.partitions", str(max(8, int(cpus))))
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         .getOrCreate()

@@ -55,6 +55,7 @@ def run(cpus: int, corpus: str, index_dir: str):
         .appName(f"scaling-bench-{cpus}")
         .config("spark.sql.shuffle.partitions", str(max(16, cpus * 2)))
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "24g")
         .getOrCreate()

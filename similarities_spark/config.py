@@ -24,6 +24,9 @@ class EngineConfig:
     # Stopwords are applied to CORPUS tokens only, never to queries.
     stopwords: frozenset = field(default_factory=frozenset)
     lowercase_stopword_match: bool = True  # reference: w.strip().lower() in stopwords
+    # 'auto': JVM regexp tokenizer (whole-stage codegen, no Python workers)
+    # unless jieba is installed; 'python'/'jvm' force a path.
+    tokenizer: str = "auto"
 
     # --- physical index layout ---
     block_size: int = 128          # postings per compressed block
@@ -33,6 +36,16 @@ class EngineConfig:
 
     # --- query execution ---
     score_mode: str = "wand"       # "wand" | "exact" (term-at-a-time, no pruning)
+    # BM25 variant: "okapi" (reference BM25Similarity default) | "bm25l" |
+    # "bm25plus" (reference rank_bm25.py:116-161). One physical index serves
+    # all variants (blocks store raw tf/dl/df; idf recomputed at decode).
+    variant: str = "okapi"
+    delta: Optional[float] = None  # None -> variant default (0 / 0.5 / 1.0)
+
+    def resolved_delta(self) -> float:
+        from similarities_spark.variants import DELTAS
+
+        return DELTAS[self.variant] if self.delta is None else self.delta
 
     # --- checkpointing ---
     checkpoint_dir: Optional[str] = None  # manifests + resumability; None = off

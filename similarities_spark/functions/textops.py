@@ -12,7 +12,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-TOKEN_RE = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+from similarities_spark.tokenize import TOKEN_PATTERN
+
+# single source of truth with the engine tokenizer (tokenize.TOKEN_PATTERN):
+# Python re, Java regex, and DuckDB RE2 all interpret this pattern string
+# identically (explicit ASCII whitespace class).
+TOKEN_RE = TOKEN_PATTERN
 
 # tiny fixed stopword list for quality features (public English stopwords)
 QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]

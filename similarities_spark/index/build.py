@@ -60,7 +60,7 @@ from similarities_spark.config import EngineConfig
 from similarities_spark.index import codec
 from similarities_spark.plans.manifest import completed_buckets, write_manifest
 from similarities_spark.sources.readers import extract_text
-from similarities_spark.tokenize import make_tokenizer_udf
+from similarities_spark.tokenize import choose_corpus_tokenizer, make_tokenizer_udf
 
 _BLOCK_SCHEMA = StructType(
     [
@@ -208,7 +208,12 @@ class BM25IndexBuilder:
         # ---- stage 1: ingest -> docs(doc_id, url, text, doc_len) ----
         docs_manifest = os.path.join(ckpt, "stage-docs.json")
         if resume and os.path.exists(docs_manifest):
-            docs = self.spark.read.parquet(docs_path)
+            # re-read loses the build-time partitioning: small parquet files
+            # get packed to maxPartitionBytes and would throttle the tokenize
+            # stage's parallelism, so spread explicitly (resume-only cost)
+            docs = self.spark.read.parquet(docs_path).repartition(
+                self.spark.sparkContext.defaultParallelism * 2
+            )
             with open(docs_manifest, "r", encoding="utf-8") as f:
                 docs_meta = json.load(f)
         else:
@@ -226,10 +231,13 @@ class BM25IndexBuilder:
         # SINGLE tokenization pass feeds doc_len, total_tokens, and postings
         # (tokenization dominates build cost at webtext scale — never run it
         # twice; deterministic retokenize from the docs table on resume).
-        tok_udf = make_tokenizer_udf("corpus", cfg.stopwords)
+        # JVM regexp path by default (no Python workers in the scan — a
+        # Python UDF stage at local[cores] oversubscribes the box 2x and
+        # scales negatively); jieba flips this to the Arrow UDF.
+        _, tok_fn = choose_corpus_tokenizer(cfg.stopwords, cfg.tokenizer)
         tokenized = docs.select(
             "doc_id",
-            tok_udf(F.col("text")).alias("tokens"),
+            tok_fn(F.col("text")).alias("tokens"),
         ).withColumn("doc_len", F.size("tokens"))
         postings = (
             tokenized.select(
@@ -239,16 +247,9 @@ class BM25IndexBuilder:
             .agg(F.count(F.lit(1)).alias("tf"))
         )
         postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
-        # total token count == sum(tf) over postings (reuses the persisted
-        # postings, so exactly ONE tokenization job runs)
-        total_tokens = int(
-            postings.agg(F.sum("tf").alias("t")).collect()[0]["t"] or 0
-        )
-        docs_meta["total_tokens"] = total_tokens
-        # exact reference arithmetic: python int/int division -> float64
-        avgdl = total_tokens / n_docs
-
-        # ---- stage 2: term_stats(term, df, idf) + global average_idf ----
+        # ---- stage 2: term_stats(term, df, idf) + all corpus scalars in
+        # ONE pass over postings (df, vocab, idf sum, total tokens, posting
+        # count come from a single groupBy(term) + tiny agg)
         stats_manifest = os.path.join(ckpt, "stage-term_stats.json")
         if resume and os.path.exists(stats_manifest):
             term_stats = self.spark.read.parquet(stats_path)
@@ -261,6 +262,11 @@ class BM25IndexBuilder:
             with open(stats_manifest, "w", encoding="utf-8") as f:
                 json.dump(stats_meta, f, sort_keys=True)
             term_stats = self.spark.read.parquet(stats_path)
+        docs.unpersist()  # postings (persisted) now carries everything needed
+        total_tokens = stats_meta["total_tokens"]
+        docs_meta["total_tokens"] = total_tokens
+        # exact reference arithmetic: python int/int division -> float64
+        avgdl = total_tokens / n_docs
 
         # ---- stage 3: salted block encoding, bucketed write, manifests ----
         done = completed_buckets(ckpt, lineage_key) if resume else []
@@ -296,11 +302,14 @@ class BM25IndexBuilder:
                 "epsilon": cfg.epsilon,
                 "stopwords": sorted(cfg.stopwords),
                 "lowercase_stopword_match": cfg.lowercase_stopword_match,
+                "tokenizer": cfg.tokenizer,
                 "block_size": cfg.block_size,
                 "num_term_buckets": cfg.num_term_buckets,
                 "salt_df_threshold": cfg.salt_df_threshold,
                 "num_salts": cfg.num_salts,
                 "score_mode": cfg.score_mode,
+                "variant": cfg.variant,
+                "delta": cfg.delta,
                 "checkpoint_dir": cfg.checkpoint_dir,
                 "checkpoint_groups": cfg.checkpoint_groups,
             },
@@ -325,9 +334,13 @@ class BM25IndexBuilder:
             1, self.spark.sparkContext.defaultParallelism
         )
         with_ids = _dense_doc_ids(deduped, sort_parts)
-        docs = with_ids.select("doc_id", "url", "text")
+        # keep the sort_parts-way partitioned DF alive for the tokenize
+        # stage: re-reading the freshly written parquet would re-pack it
+        # into ~size/maxPartitionBytes partitions and serialize tokenization
+        docs = with_ids.select("doc_id", "url", "text").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
         docs.write.mode("overwrite").parquet(docs_path)
-        docs = self.spark.read.parquet(docs_path)
         n_docs = docs.count()
         meta = {
             "n_docs": int(n_docs),
@@ -338,7 +351,12 @@ class BM25IndexBuilder:
 
     def _build_term_stats(self, postings: DataFrame, n_docs: int, stats_path: str):
         cfg = self.cfg
-        df_tbl = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        # single pass over the (persisted) postings: df AND per-term token
+        # totals; every corpus scalar then comes from the tiny vocab table
+        df_tbl = postings.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("term_tokens"),
+        )
         raw = df_tbl.withColumn(
             "idf_raw", _idf_raw_udf(F.col("df"), F.lit(n_docs).cast("long"))
         )
@@ -346,8 +364,10 @@ class BM25IndexBuilder:
         g = raw.agg(
             F.sum("idf_raw").alias("s"),
             F.count(F.lit(1)).alias("v"),
+            F.sum("term_tokens").alias("tok"),
+            F.sum("df").alias("np"),
         ).collect()[0]
-        vocab_size = int(g["v"])
+        vocab_size = int(g["v"] or 0)
         average_idf = float(g["s"]) / vocab_size if vocab_size else 0.0
         eps = cfg.epsilon * average_idf
         stats = raw.select(
@@ -359,12 +379,12 @@ class BM25IndexBuilder:
         )
         stats.write.mode("overwrite").parquet(stats_path)
         raw.unpersist()
-        n_postings = postings.count()
         meta = {
             "vocab_size": vocab_size,
             "average_idf": average_idf,
             "epsilon_floor": eps,
-            "n_postings": int(n_postings),
+            "n_postings": int(g["np"] or 0),
+            "total_tokens": int(g["tok"] or 0),
         }
         return stats, meta
 

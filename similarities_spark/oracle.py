@@ -36,10 +36,16 @@ class BM25Oracle:
         k1: float = 1.5,
         b: float = 0.75,
         epsilon: float = 0.25,
+        variant: str = "okapi",
+        delta: Optional[float] = None,
     ):
+        from similarities_spark.variants import DELTAS
+
         self.k1 = k1
         self.b = b
         self.epsilon = epsilon
+        self.variant = variant
+        self.delta = DELTAS[variant] if delta is None else delta
         self.n_docs = len(corpus_tokens)
         self.doc_len = np.array([len(d) for d in corpus_tokens], dtype=np.float64)
         self.avgdl = float(self.doc_len.sum()) / self.n_docs if self.n_docs else 0.0
@@ -50,18 +56,29 @@ class BM25Oracle:
                 nd[term] = nd.get(term, 0) + 1
         self.df = nd
         self.idf: Dict[str, float] = {}
-        idf_sum = 0.0
-        negative = []
-        for term, df in nd.items():
-            idf = math.log(self.n_docs - df + 0.5) - math.log(df + 0.5)
-            self.idf[term] = idf
-            idf_sum += idf
-            if idf < 0:
-                negative.append(term)
-        self.average_idf = idf_sum / len(self.idf) if self.idf else 0.0
-        eps = self.epsilon * self.average_idf
-        for term in negative:
-            self.idf[term] = eps
+        if variant == "okapi":
+            idf_sum = 0.0
+            negative = []
+            for term, df in nd.items():
+                idf = math.log(self.n_docs - df + 0.5) - math.log(df + 0.5)
+                self.idf[term] = idf
+                idf_sum += idf
+                if idf < 0:
+                    negative.append(term)
+            self.average_idf = idf_sum / len(self.idf) if self.idf else 0.0
+            eps = self.epsilon * self.average_idf
+            for term in negative:
+                self.idf[term] = eps
+        elif variant == "bm25l":
+            self.average_idf = 0.0
+            for term, df in nd.items():
+                self.idf[term] = math.log(self.n_docs + 1) - math.log(df + 0.5)
+        elif variant == "bm25plus":
+            self.average_idf = 0.0
+            for term, df in nd.items():
+                self.idf[term] = math.log((self.n_docs + 1) / df)
+        else:
+            raise ValueError(f"unknown variant {variant!r}")
 
     @classmethod
     def from_texts(
@@ -78,16 +95,25 @@ class BM25Oracle:
         token in order — the reproducibility contract for the engine."""
         scores = np.zeros(self.n_docs, dtype=np.float64)
         doc_len = self.doc_len
+        k1, b, delta = self.k1, self.b, self.delta
         for q in query_tokens:
             tf = np.array(
                 [(d.get(q) or 0) for d in self.doc_freqs], dtype=np.float64
             )
             idf = self.idf.get(q) or 0.0
-            scores += idf * (
-                tf
-                * (self.k1 + 1)
-                / (tf + self.k1 * (1 - self.b + self.b * doc_len / self.avgdl))
-            )
+            if self.variant == "okapi":
+                scores += idf * (
+                    tf * (k1 + 1) / (tf + k1 * (1 - b + b * doc_len / self.avgdl))
+                )
+            elif self.variant == "bm25l":
+                ctd = tf / (1 - b + b * doc_len / self.avgdl)
+                scores += idf * tf * (k1 + 1) * (ctd + delta) / (k1 + ctd + delta)
+            else:  # bm25plus — note unknown terms (idf 0) still add 0*delta=0
+                scores += idf * (
+                    delta
+                    + (tf * (k1 + 1))
+                    / (k1 * (1 - b + b * doc_len / self.avgdl) + tf)
+                )
         return scores
 
     def most_similar(

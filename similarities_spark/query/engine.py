@@ -48,6 +48,7 @@ _SCORE_SCHEMA = StructType(
         StructField("score", DoubleType()),
         StructField("n_matched", LongType()),
         StructField("needs_pad", BooleanType()),
+        StructField("pad_score", DoubleType()),
     ]
 )
 
@@ -83,8 +84,10 @@ class BM25QueryEngine:
     ) -> DataFrame:
         cfg = self.cfg
         avgdl = self.index.avgdl
+        n_docs = self.index.n_docs
         k1, b, k = cfg.k1, cfg.b, topn
         prune = cfg.score_mode == "wand"
+        variant, delta = cfg.variant, cfg.resolved_delta()
 
         tok_udf = make_tokenizer_udf("query")
         qtok = queries_df.select(
@@ -105,6 +108,7 @@ class BM25QueryEngine:
             "min_doc",
             "max_doc",
             "n_postings",
+            "df",
             "idf",
             "max_contrib",
             "max_g",
@@ -121,8 +125,9 @@ class BM25QueryEngine:
             else:
                 qid = int(right["query_id"].iloc[0])
             tokens = list(left.sort_values("pos")["term"])
-            ids, scores, n_matched, needs_pad = _scorer.score_query(
-                tokens, right, k, avgdl, k1, b, prune=prune
+            ids, scores, n_matched, needs_pad, pad_score = _scorer.score_query(
+                tokens, right, k, avgdl, k1, b, prune=prune,
+                variant=variant, delta=delta, n_docs=n_docs,
             )
             return pd.DataFrame(
                 {
@@ -131,6 +136,7 @@ class BM25QueryEngine:
                     "score": scores,
                     "n_matched": n_matched,
                     "needs_pad": needs_pad,
+                    "pad_score": pad_score,
                 }
             )
 
@@ -165,6 +171,7 @@ class BM25QueryEngine:
         summary = scored.groupBy("query_id").agg(
             F.max(F.col("needs_pad").cast("int")).alias("pad"),
             F.max("n_matched").alias("n_matched"),
+            F.max("pad_score").alias("pad_score"),
         )
         status = (
             queries_df.select(F.col("query_id").cast("long").alias("query_id"))
@@ -173,12 +180,14 @@ class BM25QueryEngine:
             .collect()
         )
         flagged = [
-            (int(r["query_id"]), int(r["n_matched"]))
+            (int(r["query_id"]), int(r["n_matched"]), float(r["pad_score"]))
             for r in status
             if r["pad"] == 1
         ]
         zero_match = [int(r["query_id"]) for r in status if r["pad"] is None]
-        pad_ids = [q for q, _ in flagged] + zero_match
+        pad_ids = [(q, ps) for q, _, ps in flagged] + [
+            (q, 0.0) for q in zero_match
+        ]
 
         ok = scored.filter(~F.col("needs_pad")).select(
             "query_id", "doc_id", "score"
@@ -188,7 +197,7 @@ class BM25QueryEngine:
                 "query_id", "rank", "doc_id", "score"
             )
 
-        max_matched = max([m for _, m in flagged], default=0)
+        max_matched = max([m for _, m, _ in flagged], default=0)
         low_docs = (
             self.index.docs()
             .select("doc_id")
@@ -196,16 +205,17 @@ class BM25QueryEngine:
             .limit(k + max_matched)
         )
         pad_q = self.spark.createDataFrame(
-            pd.DataFrame({"query_id": pad_ids})
-        ).select(F.col("query_id").cast("long"))
-        zero_rows = (
-            pad_q.crossJoin(F.broadcast(low_docs))
-            .join(
-                scored.select("query_id", "doc_id"),
-                ["query_id", "doc_id"],
-                "left_anti",
+            pd.DataFrame(
+                {
+                    "query_id": [q for q, _ in pad_ids],
+                    "score": [ps for _, ps in pad_ids],
+                }
             )
-            .withColumn("score", F.lit(0.0))
+        ).select(F.col("query_id").cast("long"), F.col("score").cast("double"))
+        zero_rows = pad_q.crossJoin(F.broadcast(low_docs)).join(
+            scored.select("query_id", "doc_id"),
+            ["query_id", "doc_id"],
+            "left_anti",
         )
         pad_rows = (
             scored.filter(F.col("needs_pad"))

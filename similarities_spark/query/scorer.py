@@ -61,14 +61,27 @@ def score_query(
     k1: float,
     b: float,
     prune: bool = True,
-) -> Tuple[np.ndarray, np.ndarray, int, bool]:
-    """-> (top doc_ids, exact scores, n_matched, needs_pad).
+    variant: str = "okapi",
+    delta: float = 0.0,
+    n_docs: int = 0,
+) -> Tuple[np.ndarray, np.ndarray, int, bool, float]:
+    """-> (top doc_ids, exact scores, n_matched, needs_pad, pad_score).
 
     ``term_blocks`` columns: term, salt, block_id, min_doc, max_doc,
-    n_postings, idf, max_contrib, payload — only blocks of this query's terms.
+    n_postings, df, idf, max_contrib, payload — this query's terms only.
+
+    ``pad_score`` is the exact score of a doc matching NO query term: 0.0
+    for Okapi/BM25L; for BM25Plus each known token contributes idf*delta to
+    every doc (reference rank_bm25.py:154-161), accumulated in token order.
+    Pruning is only enabled for the Okapi variant (block-max metadata is
+    Okapi-shaped); variants run the exact TAAT path.
     """
+    from similarities_spark import variants as _variants
+
+    if variant != "okapi":
+        prune = False
     if term_blocks is None or len(term_blocks) == 0:
-        return np.empty(0, np.int64), np.empty(0, np.float64), 0, True
+        return np.empty(0, np.int64), np.empty(0, np.float64), 0, True, 0.0
 
     occ = Counter(tokens)
     # group block rows per term, in (salt, block_id) order = ascending doc_id
@@ -77,12 +90,17 @@ def score_query(
         t: g for t, g in term_blocks.groupby("term", sort=False)
     }
 
+    def term_idf(g: pd.DataFrame) -> float:
+        if variant == "okapi":
+            return float(g["idf"].iloc[0])
+        return _variants.idf_fn(variant, n_docs)(int(g["df"].iloc[0]))
+
     terms = list(groups.keys())
     ub = {}
     lb = {}
     for t in terms:
         g = groups[t]
-        idf = float(g["idf"].iloc[0])
+        idf = term_idf(g)
         mx = float(g["max_contrib"].max())
         # min possible single-posting contribution of this term
         mn = float(
@@ -99,22 +117,28 @@ def score_query(
 
     def decode_term(t: str, restrict_ids: np.ndarray = None) -> Tuple[np.ndarray, np.ndarray]:
         g = groups[t]
-        idf = float(g["idf"].iloc[0])
-        id_parts, c_parts = [], []
-        for row in g.itertuples(index=False):
-            if restrict_ids is not None:
-                # skip blocks containing no candidate (range check on the
-                # sorted candidate array — the block-metadata skip)
-                lo = np.searchsorted(restrict_ids, row.min_doc, side="left")
-                if lo >= restrict_ids.size or restrict_ids[lo] > row.max_doc:
-                    continue
-            ids_, tfs_, dls_ = codec.decode_block(row.payload)
-            c_ = codec.contribs(tfs_, dls_, idf, avgdl, k1, b)
-            id_parts.append(ids_)
-            c_parts.append(c_)
-        if not id_parts:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
-        return np.concatenate(id_parts), np.concatenate(c_parts)
+        idf = term_idf(g)
+        payloads = g["payload"].tolist()
+        counts = g["n_postings"].to_numpy(dtype=np.int64)
+        if restrict_ids is not None and restrict_ids.size:
+            # block-metadata skip: drop blocks whose [min_doc, max_doc]
+            # contains no candidate (vectorized range check)
+            mins = g["min_doc"].to_numpy(dtype=np.int64)
+            maxs = g["max_doc"].to_numpy(dtype=np.int64)
+            lo = np.searchsorted(restrict_ids, mins, side="left")
+            keep = (lo < restrict_ids.size) & (
+                restrict_ids[np.minimum(lo, restrict_ids.size - 1)] <= maxs
+            )
+            if not keep.any():
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            payloads = [p for p, k_ in zip(payloads, keep) if k_]
+            counts = counts[keep]
+        # batched decode: 3 varint passes for ALL blocks of the term
+        ids_, tfs_, dls_ = codec.decode_blocks_batch(payloads, counts)
+        c_ = _variants.matched_contribs(
+            variant, tfs_, dls_, idf, avgdl, k1, b, delta
+        )
+        return ids_, c_
 
     cand_ids = np.empty(0, np.int64)
     cand_partial = np.empty(0, np.float64)
@@ -141,8 +165,16 @@ def score_query(
         )
 
     n_matched = int(cand_ids.size)
+    bases = {
+        t: _variants.unmatched_contrib(variant, term_idf(groups[t]), delta)
+        for t in groups
+    }
+    pad_score = 0.0
+    for tok in tokens:  # token order, like every other accumulation here
+        if tok in bases:
+            pad_score += bases[tok]
     if n_matched == 0:
-        return np.empty(0, np.int64), np.empty(0, np.float64), 0, True
+        return np.empty(0, np.int64), np.empty(0, np.float64), 0, True, pad_score
 
     # ---- exact rescore: float64, original token order, dupes per occurrence
     scores = np.zeros(cand_ids.shape, dtype=np.float64)
@@ -161,16 +193,25 @@ def score_query(
         if hit is None:
             continue  # term absent from index: contributes exactly 0.0
         pos, c_ = hit
-        scores[pos] += c_
+        base = bases[tok]
+        if base == 0.0:
+            scores[pos] += c_  # +0.0 elsewhere is the identity
+        else:
+            # BM25Plus: every doc gets idf*delta for this token; matched
+            # docs get the full expression instead (same float the dense
+            # reference expression yields elementwise)
+            vec = np.full(scores.shape, base, dtype=np.float64)
+            vec[pos] = c_
+            scores += vec
 
     # ---- rank: stable (score desc, doc_id asc) — lexsort's last key is
     # primary; equal scores fall back to ascending doc_id
     order_idx = np.lexsort((cand_ids, -scores))
     needs_pad = n_matched < k or (
-        n_matched >= k and scores[order_idx[k - 1]] <= 0.0
+        n_matched >= k and scores[order_idx[k - 1]] <= pad_score
     )
     if needs_pad:
         assert not pruned, "pruning cannot fire when padding is needed"
-        return cand_ids[order_idx], scores[order_idx], n_matched, True
+        return cand_ids[order_idx], scores[order_idx], n_matched, True, pad_score
     top = order_idx[:k]
-    return cand_ids[top], scores[top], n_matched, False
+    return cand_ids[top], scores[top], n_matched, False, pad_score

@@ -1,0 +1,82 @@
+"""Structured Streaming surfaces.
+
+1) incremental_index_stream — the streaming analog of the reference's
+   add_corpus (reference literal_similarity.py:381-406, which fully rebuilds
+   its in-memory index per call): new webtext files landing in a directory
+   are ingested via readStream + foreachBatch; each micro-batch appends the
+   new docs to a staging corpus table and (re)builds the index from the
+   accumulated corpus. Full rebuild per batch mirrors reference semantics
+   exactly; an incremental merge (encode only new postings, merge salt
+   segments) is the scale extension and slots into the same foreachBatch.
+
+2) windowed_event_counts — generic late-data-tolerant windowed aggregation
+   (watermark + tumbling window) over an event stream; exercised in tests
+   with availableNow over the driver's events table shape.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from similarities_spark.config import EngineConfig
+from similarities_spark.index.build import BM25IndexBuilder
+
+
+def incremental_index_stream(
+    spark: SparkSession,
+    input_dir: str,
+    staging_dir: str,
+    index_dir: str,
+    cfg: EngineConfig = EngineConfig(),
+    checkpoint_dir: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """readStream(webtext parquet dir) -> foreachBatch: append to staging
+    corpus, rebuild index over the accumulated corpus. Returns the query."""
+    schema = (
+        "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int):
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("append").parquet(staging_dir)
+        corpus = spark.read.parquet(staging_dir)
+        BM25IndexBuilder(spark, cfg).build(
+            corpus, index_dir, input_desc=f"stream-batch-{batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation",
+        checkpoint_dir or os.path.join(staging_dir, "_stream_ckpt"),
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — works on both batch and
+    streaming DataFrames (same plan; watermark only binds in streaming)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col(key_col),
+            F.col("n").cast("long"),
+        )
+    )

@@ -41,8 +41,12 @@ except Exception:  # pragma: no cover - environment dependent
     _jieba = None
     HAS_JIEBA = False
 
-# latin/digit runs, or any single non-space char (CJK chars come out one by one)
-_FALLBACK_RE = re.compile(r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]")
+# latin/digit runs, or any single non-space char (CJK chars come out one by
+# one). The whitespace class is EXPLICIT ASCII so Python re, Java regex, and
+# RE2 (DuckDB) tokenize byte-identically (Python's \s is Unicode-aware, Java's
+# is not — exotic Unicode whitespace would diverge otherwise).
+TOKEN_PATTERN = "[A-Za-z0-9_]+|[^ \\t\\n\\r\\f\\x0bA-Za-z0-9_]"
+_FALLBACK_RE = re.compile(TOKEN_PATTERN)
 
 
 def _segment(text: str) -> List[str]:
@@ -82,6 +86,39 @@ def make_tokenizer_udf(mode: str = "corpus", stopwords: Optional[frozenset] = No
         return col.map(lambda t: tokenize_text(t, mode=mode, stopwords=sw))
 
     return _tokenize
+
+
+def jvm_tokens_col(text_col, mode: str = "corpus", stopwords: Optional[frozenset] = None):
+    """JVM-side tokenizer: byte-identical to the Python fallback (same
+    explicit-ASCII-whitespace pattern) but pure Catalyst — whole-stage
+    codegen, zero Python workers. This is the ingest hot path whenever jieba
+    isn't the active segmenter: at local[N]=machine-cores, a Python UDF stage
+    runs N JVM threads + N Python workers (2x oversubscription) and scales
+    NEGATIVELY; this path removes Python from the scan entirely."""
+    toks = F.regexp_extract_all(text_col, F.lit(TOKEN_PATTERN), 0)
+    if mode == "query":
+        return toks
+    sw = sorted(stopwords or ())
+    if sw:
+        sw_arr = F.array(*[F.lit(w) for w in sw])
+        # reference filter semantics (literal_similarity.py:412-413); regex
+        # tokens contain no ASCII whitespace, so trim() is a no-op and the
+        # emptiness test is only needed for exotic Unicode-space tokens
+        return F.filter(
+            toks,
+            lambda t: (~F.array_contains(sw_arr, F.lower(F.trim(t))))
+            & (F.length(F.trim(t)) > 0),
+        )
+    return toks
+
+
+def choose_corpus_tokenizer(stopwords: Optional[frozenset], prefer: str = "auto"):
+    """-> ('jvm', column_fn) or ('python', udf). 'auto' uses the JVM path
+    unless jieba is installed (jieba segmentation != regex fallback)."""
+    if prefer == "jvm" or (prefer == "auto" and not HAS_JIEBA):
+        return "jvm", lambda col: jvm_tokens_col(col, "corpus", stopwords)
+    udf = make_tokenizer_udf("corpus", stopwords)
+    return "python", lambda col: udf(col)
 
 
 def load_stopwords(path: str) -> frozenset:

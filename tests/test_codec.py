@@ -60,3 +60,37 @@ def test_contribs_matches_reference_expression():
     dl_f = dl.astype(np.float64)
     want = idf * (tf_f * (k1 + 1) / (tf_f + k1 * (1 - b + b * dl_f / avgdl)))
     assert np.array_equal(got, want)  # bit-identical
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2**30),
+                st.integers(min_value=1, max_value=50),
+                st.integers(min_value=1, max_value=500),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_batch_decode_equals_per_block(blocks):
+    payloads, counts, want_ids, want_tfs, want_dls = [], [], [], [], []
+    for blk in blocks:
+        gaps = np.array([p[0] for p in blk], dtype=np.int64)
+        ids = np.cumsum(gaps + 1) - 1
+        tfs = np.array([p[1] for p in blk], dtype=np.int64)
+        dls = np.array([p[2] for p in blk], dtype=np.int64)
+        payloads.append(codec.encode_block(ids, tfs, dls))
+        counts.append(len(blk))
+        want_ids.append(ids)
+        want_tfs.append(tfs)
+        want_dls.append(dls)
+    got_ids, got_tfs, got_dls = codec.decode_blocks_batch(payloads, counts)
+    assert np.array_equal(got_ids, np.concatenate(want_ids))
+    assert np.array_equal(got_tfs, np.concatenate(want_tfs))
+    assert np.array_equal(got_dls, np.concatenate(want_dls))

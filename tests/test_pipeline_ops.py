@@ -1,0 +1,249 @@
+"""Training-pipeline + Tier-B operator tests: dedup clustering, TFIDF,
+evaluation metrics, lexicon similarity, multimodal plumbing, streaming."""
+
+import datetime
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from similarities_spark import evaluation
+from similarities_spark.functions import dedup, graph, lexicon, multimodal, tfidf
+
+
+# ---------------------------------------------------------------- dedup/graph
+
+
+def test_connected_components_chain_and_islands(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12), (12, 10)],
+        "id_a long, id_b long",
+    )
+    comps = {r["id"]: r["comp"] for r in graph.connected_components(pairs).collect()}
+    assert comps[1] == comps[2] == comps[3] == 1
+    assert comps[7] == comps[8] == 7
+    assert comps[10] == comps[11] == comps[12] == 10
+
+
+def test_dedup_keep_representatives(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"] for r in graph.dedup_keep_representatives(df, pairs).collect()
+    )
+    assert kept == [0, 1, 2, 4]
+
+
+def test_exact_dedup_keeps_first(spark):
+    df = spark.createDataFrame(
+        [(0, "aa"), (1, "bb"), (2, "aa"), (3, "cc"), (4, "bb")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(df).collect())
+    assert kept == [0, 1, 3]
+    groups = {r["keep_id"]: r["n_copies"] for r in dedup.dup_groups(df).collect()}
+    assert groups == {0: 2, 1: 2}
+
+
+def test_minhash_estimates_high_for_near_dups(spark):
+    # md5-deterministic fixture: one token changed in a 50-token doc ->
+    # 13/16 signature matches incl. a full band (verified by construction)
+    base = " ".join(f"tok{i}" for i in range(50))
+    near = base.replace("tok25", "tok25x")
+    far = " ".join(f"z{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_lsh_pairs(df, num_hashes=16, bands=4).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.5
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_near_dup_hamming(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    near = base.replace("w3 ", "w3x ")
+    far = " ".join(f"z{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "doc_id long, text string"
+    )
+    sims = {r["id"]: r["simhash"] for r in dedup.simhash64(df).collect()}
+    ham01 = bin((sims[0] ^ sims[1]) & (2**64 - 1)).count("1")
+    ham02 = bin((sims[0] ^ sims[2]) & (2**64 - 1)).count("1")
+    assert ham01 < ham02
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_hamming_pairs(
+            dedup.simhash64(df), max_hamming=16
+        ).collect()
+    }
+    assert (0, 1) in pairs
+
+
+# --------------------------------------------------------------------- tfidf
+
+
+def test_tfidf_most_similar_prefers_shared_terms(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "apple banana cherry"),
+            (1, "apple apple banana"),
+            (2, "dog cat mouse"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame([(0, "apple banana")], "doc_id long, text string")
+    cv = tfidf.tfidf_vectors(corpus)
+    qv = tfidf.tfidf_vectors(queries)
+    hits = tfidf.tfidf_most_similar(cv, qv, topn=3).collect()
+    ranked = [r["doc_id"] for r in sorted(hits, key=lambda r: r["rank"])]
+    assert ranked[0] in (0, 1) and 2 not in ranked[:2]
+
+
+# ---------------------------------------------------------------- evaluation
+
+
+def test_evaluation_metrics(spark):
+    hits = spark.createDataFrame(
+        [(0, 1, 100), (0, 2, 101), (0, 3, 102), (1, 1, 200), (1, 2, 201)],
+        "query_id long, rank long, doc_id long",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 101, 1), (0, 999, 1), (1, 200, 1)],
+        "query_id long, doc_id long, relevance int",
+    )
+    mrr = evaluation.mrr_at_k(hits, qrels, ks=[3]).collect()[0]["mrr"]
+    assert mrr == pytest.approx((1 / 2 + 1 / 1) / 2)
+    acc = evaluation.accuracy_at_k(hits, qrels, ks=[1]).collect()[0]["accuracy"]
+    assert acc == pytest.approx(0.5)  # only q1 has a relevant doc at rank 1
+    rec = evaluation.recall_cap_at_k(hits, qrels, ks=[3]).collect()[0]["recall_cap"]
+    assert rec == pytest.approx((1 / 2 + 1 / 1) / 2)
+    hole = evaluation.hole_at_k(hits, qrels, ks=[2]).collect()[0]["hole"]
+    assert hole == pytest.approx(2 / 4)  # docs 100, 201 unjudged
+
+
+# ------------------------------------------------------------------- lexicon
+
+
+def test_lexicon_sentence_sim(spark):
+    lex = spark.createDataFrame(
+        [("cat", "Aa01a"), ("dog", "Aa01b"), ("rocket", "Xz99z"), ("feline", "Aa01a")],
+        "word string, sense_key string",
+    )
+    sents = spark.createDataFrame(
+        [(0, "cat", "feline"), (1, "cat", "rocket")],
+        "pair_id long, s1 string, s2 string",
+    )
+    sims = {r["pair_id"]: r["sim"] for r in lexicon.sentence_sim(lex, sents).collect()}
+    assert sims[0] == 1.0  # same sense key
+    assert sims[1] < 0.5
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def test_image_features_plumbing(spark):
+    rows = [(i, bytes([i] * 64)) for i in range(10)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = multimodal.image_features(df, emb_dim=8).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["width"] >= 16 and r["height"] >= 16
+        assert len(r["embedding"]) == 8
+    # deterministic: same payload -> same embedding
+    out2 = multimodal.image_features(df, emb_dim=8).collect()
+    assert {r["media_id"]: r["embedding"] for r in out} == {
+        r["media_id"]: r["embedding"] for r in out2
+    }
+
+
+def test_frame_sample_plumbing(spark):
+    df = spark.createDataFrame(
+        [(0, bytes(range(256)) * 3), (1, b"xy")], "media_id long, payload binary"
+    )
+    rows = multimodal.frame_sample(df, every_n=4).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert sorted(by_id[0]) == list(range(0, 768 // 64, 4))
+    assert by_id[1] == [0]
+
+
+def test_audio_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_audio(b"riff")
+
+
+# ----------------------------------------------------------------- streaming
+
+
+def test_windowed_event_counts_batch_and_stream(spark, tmp_path):
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (base + datetime.timedelta(minutes=10 * i), f"type{i % 2}") for i in range(12)
+    ]
+    events = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    from similarities_spark.streaming import windowed_event_counts
+
+    batch = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in windowed_event_counts(events, window="1 hour").collect()
+    }
+    assert batch[(base, "type0")] == 3 and batch[(base, "type1")] == 3
+
+    src = str(tmp_path / "events_in")
+    events.write.parquet(src)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string").parquet(src)
+    )
+    agg = windowed_event_counts(stream, window="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("evt_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {
+        (r["window_start"], r["event_type"]): r["n"]
+        for r in spark.sql("select * from evt_counts").collect()
+    }
+    assert got == batch
+
+
+def test_incremental_index_stream(spark, tmp_path):
+    from similarities_spark.config import EngineConfig
+    from similarities_spark.query.engine import BM25QueryEngine
+    from similarities_spark.sources.synth import synth_webtext_pandas
+    from similarities_spark.streaming import incremental_index_stream
+
+    pdf = synth_webtext_pandas(n_docs=40, seed=3)
+    in_dir = str(tmp_path / "incoming")
+    spark.createDataFrame(pdf.iloc[:20]).write.mode("append").parquet(in_dir)
+
+    cfg = EngineConfig(stopwords=frozenset(), num_term_buckets=4, num_salts=2)
+    staging = str(tmp_path / "staging")
+    idx_dir = str(tmp_path / "idx")
+    q = incremental_index_stream(spark, in_dir, staging, idx_dir, cfg)
+    q.awaitTermination(120)
+
+    from similarities_spark.index.build import BM25Index
+
+    idx = BM25Index(spark, idx_dir)
+    n1 = idx.n_docs
+    assert 0 < n1 <= 20
+
+    # second batch of files -> index covers the accumulated corpus
+    spark.createDataFrame(pdf.iloc[20:]).write.mode("append").parquet(in_dir)
+    q2 = incremental_index_stream(spark, in_dir, staging, idx_dir, cfg)
+    q2.awaitTermination(120)
+    idx2 = BM25Index(spark, idx_dir)
+    assert idx2.n_docs > n1
+    hits = BM25QueryEngine(idx2).search("data web", topn=3)
+    assert hits.count() > 0

@@ -46,6 +46,7 @@ def build_blocks_pdf(corpus_tokens, oracle: BM25Oracle, block_size=8, num_salts=
                     dict(
                         term=term,
                         salt=salt,
+                        df=oracle.df[term],
                         block_id=bi // block_size,
                         min_doc=int(ids[0]),
                         max_doc=int(ids[-1]),
@@ -87,10 +88,10 @@ def test_pruned_scorer_matches_oracle(seed, k):
             tokens.append("never-indexed-term")
         qblocks = blocks[blocks["term"].isin(set(tokens))]
         expect = oracle.most_similar(tokens, topn=k)
-        ids, scores, n_matched, needs_pad = score_query(
+        ids, scores, n_matched, needs_pad, _pad = score_query(
             tokens, qblocks, k, oracle.avgdl, oracle.k1, oracle.b, prune=True
         )
-        ids_np, scores_np, _, _ = score_query(
+        ids_np, scores_np, _, _, _ = score_query(
             tokens, qblocks, k, oracle.avgdl, oracle.k1, oracle.b, prune=False
         )
         # prune vs no-prune identical
@@ -113,7 +114,43 @@ def test_scorer_zero_match_query():
     corpus = [["a", "b"], ["c"]]
     oracle = BM25Oracle(corpus)
     blocks = build_blocks_pdf(corpus, oracle)
-    ids, scores, n, pad = score_query(
+    ids, scores, n, pad, _ps = score_query(
         ["zzz"], blocks[blocks["term"] == "zzz"], 5, oracle.avgdl, 1.5, 0.75
     )
     assert n == 0 and pad and ids.size == 0
+
+
+@pytest.mark.parametrize("variant", ["bm25l", "bm25plus"])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_variant_scorer_matches_oracle(variant, seed):
+    """BM25L / BM25Plus decode-time variants: exact score parity incl. the
+    BM25Plus per-token delta baseline for unmatched docs."""
+    rng = np.random.RandomState(seed)
+    vocab = np.array([f"t{i}" for i in range(40)], dtype=object)
+    corpus = random_corpus(rng, n_docs=80, vocab=vocab)
+    okapi = BM25Oracle(corpus)  # block metadata is okapi-shaped, like builds
+    oracle = BM25Oracle(corpus, variant=variant)
+    blocks = build_blocks_pdf(corpus, okapi, block_size=8)
+    k = 7
+    for qi in range(6):
+        tokens = list(rng.choice(vocab, size=1 + rng.randint(4)))
+        if qi % 2 == 0:
+            tokens.append(tokens[0])
+        if qi % 3 == 0:
+            tokens.append("never-indexed")
+        qblocks = blocks[blocks["term"].isin(set(tokens))]
+        expect = oracle.most_similar(tokens, topn=k)
+        ids, scores, n_matched, needs_pad, pad_score = score_query(
+            tokens, qblocks, k, oracle.avgdl, oracle.k1, oracle.b,
+            variant=variant, delta=oracle.delta, n_docs=len(corpus),
+        )
+        if needs_pad:
+            matched = dict(zip(ids, scores))
+            full = [(d, matched.get(d, pad_score)) for d in range(len(corpus))]
+            full.sort(key=lambda x: (-x[1], x[0]))
+            got = full[:k]
+        else:
+            got = list(zip(ids, scores))
+        assert [d for d, _ in got] == [d for d, _ in expect], f"{variant} q={tokens}"
+        for (gd, gs), (ed, es) in zip(got, expect):
+            assert gs == es, f"{variant} doc {gd}: {gs!r} != {es!r}"
