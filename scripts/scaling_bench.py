@@ -22,7 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CORPUS_DEFAULT = "/tmp/scale_corpus.parquet"
-N_QUERIES = 400
+N_QUERIES = int(os.environ.get("SCALE_QUERIES", "1200"))
 
 
 def gen_corpus(n_docs: int, path: str):
@@ -57,7 +57,7 @@ def run(cpus: int, corpus: str, index_dir: str):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "24g")
+        .config("spark.driver.memory", "48g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -137,24 +137,24 @@ def _make_block_encoder(cfg: EngineConfig, avgdl: float):
         salt = int(pdf["salt"].iloc[0])
         # g = the tf/length normalization factor; contribution = idf * g.
         g = codec.contribs(tfs, dls, 1.0, avgdl, k1, b)
-        rows = []
-        for bi, lo in enumerate(range(0, len(doc_ids), block_size)):
-            hi = min(lo + block_size, len(doc_ids))
-            payload = codec.encode_block(doc_ids[lo:hi], tfs[lo:hi], dls[lo:hi])
-            gb = g[lo:hi]
-            rows.append(
-                (
-                    term,
-                    salt,
-                    bi,
-                    int(doc_ids[lo]),
-                    int(doc_ids[hi - 1]),
-                    hi - lo,
-                    float(gb.max()),
-                    float(gb.min()),
-                    payload,
-                )
+        starts = np.arange(0, len(doc_ids), block_size, dtype=np.int64)
+        g_max = np.maximum.reduceat(g, starts)
+        g_min = np.minimum.reduceat(g, starts)
+        blocks = codec.encode_blocks_batch(doc_ids, tfs, dls, block_size)
+        rows = [
+            (
+                term,
+                salt,
+                bi,
+                int(doc_ids[lo]),
+                int(doc_ids[hi - 1]),
+                hi - lo,
+                float(g_max[bi]),
+                float(g_min[bi]),
+                payload,
             )
+            for bi, (payload, lo, hi) in enumerate(blocks)
+        ]
         return pd.DataFrame(
             rows,
             columns=[f.name for f in _BLOCK_SCHEMA.fields],
@@ -198,6 +198,14 @@ class BM25IndexBuilder:
         """
         cfg = self.cfg
         t0 = time.time()
+        stage_wall = {}
+        _last = [t0]
+
+        def _mark(stage: str):
+            now = time.time()
+            stage_wall[stage] = round(now - _last[0], 2)
+            _last[0] = now
+
         os.makedirs(index_dir, exist_ok=True)
         ckpt = cfg.checkpoint_dir or os.path.join(index_dir, "manifests")
 
@@ -222,6 +230,7 @@ class BM25IndexBuilder:
             with open(docs_manifest, "w", encoding="utf-8") as f:
                 json.dump(docs_meta, f, sort_keys=True)
 
+        _mark("docs")
         n_docs = docs_meta["n_docs"]
         lineage_key = (
             f"{input_desc}|{n_docs}|k1={cfg.k1}|b={cfg.b}"
@@ -234,14 +243,20 @@ class BM25IndexBuilder:
         # JVM regexp path by default (no Python workers in the scan — a
         # Python UDF stage at local[cores] oversubscribes the box 2x and
         # scales negatively); jieba flips this to the Arrow UDF.
+        # The tokenized DF is PERSISTED before fan-out: Catalyst collapses
+        # projections, so without the cache the tokenizer expression would be
+        # inlined into BOTH size(tokens) and explode(tokens) and run twice —
+        # measured 2x the whole stage cost at 1M docs.
         _, tok_fn = choose_corpus_tokenizer(cfg.stopwords, cfg.tokenizer)
         tokenized = docs.select(
             "doc_id",
             tok_fn(F.col("text")).alias("tokens"),
-        ).withColumn("doc_len", F.size("tokens"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         postings = (
             tokenized.select(
-                "doc_id", "doc_len", F.explode("tokens").alias("term")
+                "doc_id",
+                F.size("tokens").alias("doc_len"),
+                F.explode("tokens").alias("term"),
             )
             .groupBy("term", "doc_id", "doc_len")
             .agg(F.count(F.lit(1)).alias("tf"))
@@ -262,7 +277,9 @@ class BM25IndexBuilder:
             with open(stats_manifest, "w", encoding="utf-8") as f:
                 json.dump(stats_meta, f, sort_keys=True)
             term_stats = self.spark.read.parquet(stats_path)
+        _mark("postings_and_stats")
         docs.unpersist()  # postings (persisted) now carries everything needed
+        tokenized.unpersist()
         total_tokens = stats_meta["total_tokens"]
         docs_meta["total_tokens"] = total_tokens
         # exact reference arithmetic: python int/int division -> float64
@@ -282,6 +299,7 @@ class BM25IndexBuilder:
             fail_after_groups=_fail_after_groups,
         )
         postings.unpersist()
+        _mark("blocks")
 
         # ---- meta.json: overall commit marker ----
         meta = {
@@ -296,6 +314,7 @@ class BM25IndexBuilder:
             "n_input_rows": docs_meta["n_input_rows"],
             "n_dups_dropped": docs_meta["n_input_rows"] - n_docs,
             "build_wall_s": time.time() - t0,
+            "stage_wall_s": stage_wall,
             "config": {
                 "k1": cfg.k1,
                 "b": cfg.b,

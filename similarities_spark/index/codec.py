@@ -27,11 +27,12 @@ _SEVEN = np.uint64(7)
 _MASK = np.uint64(0x7F)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array (vectorized over values)."""
+def varint_encode_with_lengths(values: np.ndarray):
+    """LEB128-encode a uint64 array -> (bytes, per-value byte length array).
+    Vectorized over values; loops only over max varint width (<=10)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     nb = np.ones(v.shape, dtype=np.int64)
     rest = v >> _SEVEN
     while rest.any():
@@ -47,7 +48,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         cont = np.where(nb > i + 1, np.uint8(0x80), np.uint8(0))
         out[pos[mask] + i] = byte[mask] | cont[mask]
         work >>= _SEVEN
-    return out.tobytes()
+    return out.tobytes(), nb
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized over values)."""
+    return varint_encode_with_lengths(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
@@ -98,6 +104,39 @@ def decode_block(payload: bytes) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     tfs = varint_decode(bytes(b[o2:o3])).astype(np.int64)
     dls = varint_decode(bytes(b[o3:])).astype(np.int64)
     return doc_ids, tfs, dls
+
+
+def encode_blocks_batch(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, block_size: int
+):
+    """Encode a whole (term, salt) SEGMENT into block payloads with three
+    vectorized varint passes (not four per block): per-block delta chains
+    (first value absolute), then byte-sliced per block.
+
+    -> list of (payload bytes, start_index, end_index) per block.
+    """
+    n = doc_ids.size
+    starts = np.arange(0, n, block_size, dtype=np.int64)
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = d[0]
+    np.subtract(d[1:], d[:-1], out=deltas[1:])
+    deltas[starts] = d[starts]  # delta chain restarts per block
+    s_doc, nb_doc = varint_encode_with_lengths(deltas)
+    s_tf, nb_tf = varint_encode_with_lengths(np.asarray(tfs, dtype=np.uint64))
+    s_dl, nb_dl = varint_encode_with_lengths(np.asarray(dls, dtype=np.uint64))
+    cum_doc = np.concatenate([[0], np.cumsum(nb_doc)])
+    cum_tf = np.concatenate([[0], np.cumsum(nb_tf)])
+    cum_dl = np.concatenate([[0], np.cumsum(nb_dl)])
+    out = []
+    for lo in starts:
+        hi = min(lo + block_size, n)
+        bd = s_doc[cum_doc[lo] : cum_doc[hi]]
+        bt = s_tf[cum_tf[lo] : cum_tf[hi]]
+        bl = s_dl[cum_dl[lo] : cum_dl[hi]]
+        header = varint_encode(np.array([len(bd), len(bt)], dtype=np.uint64))
+        out.append((header + bd + bt + bl, int(lo), int(hi)))
+    return out
 
 
 def decode_blocks_batch(payloads, n_postings) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
