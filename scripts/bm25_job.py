@@ -23,6 +23,9 @@ def main(argv):
     p.add_argument("--topn", type=int, default=10)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--salt-df-threshold", type=int, default=50_000)
+    p.add_argument(
+        "--variant", choices=["okapi", "bm25l", "bm25plus"], default="okapi"
+    )
     args = p.parse_args(argv)
     if not args.input and not args.synth:
         p.error("one of --input / --synth is required")
@@ -33,7 +36,9 @@ def main(argv):
     from similarities_spark.sources.synth import synth_webtext_df
 
     spark = SparkSession.builder.appName("bm25-index-job").getOrCreate()
-    cfg = EngineConfig(salt_df_threshold=args.salt_df_threshold)
+    cfg = EngineConfig(
+        salt_df_threshold=args.salt_df_threshold, variant=args.variant
+    )
     if args.synth:
         webtext = synth_webtext_df(spark, n_docs=args.synth, seed=42)
         desc = f"synth-{args.synth}-seed42"

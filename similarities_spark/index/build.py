@@ -112,17 +112,43 @@ class BM25Index:
 def _dense_doc_ids(pages: DataFrame, sort_partitions: int) -> DataFrame:
     """Dense 0..N-1 doc ids in deterministic (warc_ts, url) ingestion order.
 
-    repartitionByRange + sortWithinPartitions + zipWithIndex is the scalable
-    dense-rank: two narrow passes, no single-partition global window.
+    Scalable dense-rank, pure JVM (no zipWithIndex: that would pickle every
+    row through Python): range-shuffle + in-partition sort, count rows per
+    partition (tiny collect), then doc_id = partition offset + local
+    row_number. The within-partition window is a no-op sort (ordering
+    already satisfied) and partitionBy(_pid) matches the distribution, so
+    no extra shuffle. The sorted input is cached so the counts pass doesn't
+    recompute the range exchange.
     """
-    spark = pages.sparkSession
-    ordered = pages.repartitionByRange(
-        sort_partitions, "warc_ts", "url"
-    ).sortWithinPartitions("warc_ts", "url")
-    fields = ordered.schema.fields
-    out_schema = StructType([StructField("doc_id", LongType())] + list(fields))
-    rdd = ordered.rdd.zipWithIndex().map(lambda pair: (pair[1], *pair[0]))
-    return spark.createDataFrame(rdd, out_schema)
+    ordered = (
+        pages.repartitionByRange(sort_partitions, "warc_ts", "url")
+        .sortWithinPartitions("warc_ts", "url")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = sorted(
+        (int(r["_pid"]), int(r["n"]))
+        for r in ordered.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets = {}
+    acc = 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = Window.partitionBy("_pid").orderBy("warc_ts", "url")
+    out = ordered.withColumn(
+        "doc_id",
+        (
+            F.row_number().over(w).cast("long")
+            - 1
+            + F.coalesce(offset_map[F.col("_pid")], F.lit(0)).cast("long")
+        ),
+    ).drop("_pid")
+    out._cached_sort_parent = ordered  # released once docs materialize
+    return out
 
 
 def _make_block_encoder(cfg: EngineConfig, avgdl: float):
@@ -361,6 +387,9 @@ class BM25IndexBuilder:
         )
         docs.write.mode("overwrite").parquet(docs_path)
         n_docs = docs.count()
+        parent = getattr(with_ids, "_cached_sort_parent", None)
+        if parent is not None:
+            parent.unpersist()
         meta = {
             "n_docs": int(n_docs),
             "n_input_rows": int(n_input),

@@ -44,6 +44,7 @@ from similarities_spark.tokenize import make_tokenizer_udf
 _SCORE_SCHEMA = StructType(
     [
         StructField("query_id", LongType()),
+        StructField("range_id", LongType()),
         StructField("doc_id", LongType()),
         StructField("score", DoubleType()),
         StructField("n_matched", LongType()),
@@ -80,14 +81,28 @@ class BM25QueryEngine:
         return self.search_df(qdf, topn=topn, include_text=include_text)
 
     def search_df(
-        self, queries_df: DataFrame, topn: int = 10, include_text: bool = False
+        self,
+        queries_df: DataFrame,
+        topn: int = 10,
+        include_text: bool = False,
+        fan_out: Optional[int] = None,
     ) -> DataFrame:
+        """``fan_out=R`` splits scoring into R doc-id range shards per query
+        (reusing the index's fixed global salt ranges): each (query, range)
+        task scores its shard fully (still bit-exact per doc — ranges
+        partition the doc space) and emits a local top-k; a global window
+        merges. This is the single-query-latency path at extreme scale —
+        one query's work spreads over R tasks instead of one. Okapi only
+        (BM25Plus pad baselines aren't range-decomposable); small batches
+        of fat queries want it, big batches of queries don't need it."""
         cfg = self.cfg
         avgdl = self.index.avgdl
         n_docs = self.index.n_docs
         k1, b, k = cfg.k1, cfg.b, topn
         prune = cfg.score_mode == "wand"
         variant, delta = cfg.variant, cfg.resolved_delta()
+        if variant != "okapi":
+            fan_out = None
 
         tok_udf = make_tokenizer_udf("query")
         qtok = queries_df.select(
@@ -119,19 +134,43 @@ class BM25QueryEngine:
         # pushes the bucket/term equality into the parquet scan
         qblocks = F.broadcast(qterms).join(blocks, "term", "inner")
 
+        if fan_out:
+            per = max(1, (n_docs + fan_out - 1) // fan_out)
+            ranges = self.spark.range(fan_out).select(
+                F.col("id").alias("range_id")
+            )
+            qtok = qtok.crossJoin(F.broadcast(ranges))
+            qblocks = qblocks.withColumn(
+                "range_id",
+                F.explode(
+                    F.sequence(
+                        (F.col("min_doc") / per).cast("long"),
+                        (F.col("max_doc") / per).cast("long"),
+                    )
+                ),
+            )
+            keys = ["query_id", "range_id"]
+        else:
+            per = None
+            qtok = qtok.withColumn("range_id", F.lit(0).cast("long"))
+            qblocks = qblocks.withColumn("range_id", F.lit(0).cast("long"))
+            keys = ["query_id"]
+
         def score_group(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-            if len(left):
-                qid = int(left["query_id"].iloc[0])
-            else:
-                qid = int(right["query_id"].iloc[0])
+            src = left if len(left) else right
+            qid = int(src["query_id"].iloc[0])
+            rid = int(src["range_id"].iloc[0])
+            doc_range = (rid * per, (rid + 1) * per) if per else None
             tokens = list(left.sort_values("pos")["term"])
             ids, scores, n_matched, needs_pad, pad_score = _scorer.score_query(
                 tokens, right, k, avgdl, k1, b, prune=prune,
                 variant=variant, delta=delta, n_docs=n_docs,
+                doc_range=doc_range,
             )
             return pd.DataFrame(
                 {
                     "query_id": qid,
+                    "range_id": rid,
                     "doc_id": ids,
                     "score": scores,
                     "n_matched": n_matched,
@@ -141,8 +180,8 @@ class BM25QueryEngine:
             )
 
         scored = (
-            qtok.groupBy("query_id")
-            .cogroup(qblocks.groupBy("query_id"))
+            qtok.groupBy(*keys)
+            .cogroup(qblocks.groupBy(*keys))
             .applyInPandas(score_group, _SCORE_SCHEMA)
         )
 
@@ -168,9 +207,15 @@ class BM25QueryEngine:
             F.desc("score"), F.asc("doc_id")
         )
 
-        summary = scored.groupBy("query_id").agg(
-            F.max(F.col("needs_pad").cast("int")).alias("pad"),
-            F.max("n_matched").alias("n_matched"),
+        # per-range flags first, then per-query: a query needs padding only
+        # if EVERY range flagged it (a single unflagged range proves k docs
+        # above the pad score exist globally); n_matched sums over ranges
+        per_range = scored.select(
+            "query_id", "range_id", "n_matched", "needs_pad", "pad_score"
+        ).distinct()
+        summary = per_range.groupBy("query_id").agg(
+            F.min(F.col("needs_pad").cast("int")).alias("pad"),
+            F.sum("n_matched").alias("n_matched"),
             F.max("pad_score").alias("pad_score"),
         )
         status = (
@@ -189,12 +234,17 @@ class BM25QueryEngine:
             (q, 0.0) for q in zero_match
         ]
 
-        ok = scored.filter(~F.col("needs_pad")).select(
-            "query_id", "doc_id", "score"
-        )
+        flagged_qids = {q for q, _ in pad_ids}
+        ok = scored.filter(
+            ~F.col("query_id").isin(list(flagged_qids))
+            if flagged_qids
+            else F.lit(True)
+        ).select("query_id", "doc_id", "score")
         if not pad_ids:
-            return ok.withColumn("rank", F.row_number().over(w)).select(
-                "query_id", "rank", "doc_id", "score"
+            return (
+                ok.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select("query_id", "rank", "doc_id", "score")
             )
 
         max_matched = max([m for _, m, _ in flagged], default=0)
@@ -218,13 +268,15 @@ class BM25QueryEngine:
             "left_anti",
         )
         pad_rows = (
-            scored.filter(F.col("needs_pad"))
+            scored.filter(F.col("query_id").isin(list(flagged_qids)))
             .select("query_id", "doc_id", "score")
             .unionByName(zero_rows)
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )
-        ranked_ok = ok.withColumn("rank", F.row_number().over(w))
+        ranked_ok = ok.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
         return ranked_ok.unionByName(pad_rows).select(
             "query_id", "rank", "doc_id", "score"
         )

@@ -64,6 +64,7 @@ def score_query(
     variant: str = "okapi",
     delta: float = 0.0,
     n_docs: int = 0,
+    doc_range: "Tuple[int, int]" = None,
 ) -> Tuple[np.ndarray, np.ndarray, int, bool, float]:
     """-> (top doc_ids, exact scores, n_matched, needs_pad, pad_score).
 
@@ -80,6 +81,13 @@ def score_query(
 
     if variant != "okapi":
         prune = False
+    if doc_range is not None and term_blocks is not None and len(term_blocks):
+        # doc-sharded fan-out: this task owns docs in [lo, hi) — drop blocks
+        # fully outside the range; boundary blocks are clipped after decode
+        lo, hi = doc_range
+        term_blocks = term_blocks[
+            (term_blocks["max_doc"] >= lo) & (term_blocks["min_doc"] < hi)
+        ]
     if term_blocks is None or len(term_blocks) == 0:
         return np.empty(0, np.int64), np.empty(0, np.float64), 0, True, 0.0
 
@@ -135,6 +143,11 @@ def score_query(
             counts = counts[keep]
         # batched decode: 3 varint passes for ALL blocks of the term
         ids_, tfs_, dls_ = codec.decode_blocks_batch(payloads, counts)
+        if doc_range is not None:
+            rmask = (ids_ >= doc_range[0]) & (ids_ < doc_range[1])
+            ids_, tfs_, dls_ = ids_[rmask], tfs_[rmask], dls_[rmask]
+            if ids_.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
         c_ = _variants.matched_contribs(
             variant, tfs_, dls_, idf, avgdl, k1, b, delta
         )

@@ -155,3 +155,19 @@ def test_exact_mode_matches_wand_mode(built, spark):
         expect = oracle.most_similar(tokens, topn=10)
         got = sorted(by_q[qid], key=lambda r: r["rank"])
         assert [r["doc_id"] for r in got] == [d for d, _ in expect]
+
+
+def test_fanout_matches_single_task_path(built, spark):
+    """Doc-range fan-out (scale path for single-query latency) must return
+    exactly the same hits as the per-query path."""
+    index, oracle, _ = built
+    engine = BM25QueryEngine(index)
+    qdf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(QUERIES)], "query_id long, text string"
+    )
+    base = engine.search_df(qdf, topn=10).collect()
+    fan = engine.search_df(qdf, topn=10, fan_out=4).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    b_rows = sorted([(r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in base])
+    f_rows = sorted([(r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in fan])
+    assert b_rows == f_rows
