@@ -131,6 +131,27 @@ def minhash_signatures(
     )
 
 
+def minhash_wide(
+    df: DataFrame,
+    num_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per doc with num_hashes signature COLUMNS: the shingle rows
+    are aggregated once (16 min() aggregates) instead of exploded x16 —
+    same md5 work, 16x less shuffle volume. Signatures identical to
+    minhash_signatures (min over md5(seed|shingle) hex)."""
+    sh = shingles_df(df, n=n, text_col=text_col, id_col=id_col)
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))
+        ).alias(f"sig{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     num_hashes: int = 16,
@@ -144,16 +165,35 @@ def minhash_lsh_pairs(
 
     This is the web-scale near-dup path: cost is a groupBy on (band, band
     signature) + per-bucket pairing — no shingle self-join, no n^2.
+    Signatures ride as wide columns (minhash_wide); only the small banded
+    projection is exploded for the bucket join.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(
+    sigs = minhash_wide(
         df, num_hashes=num_hashes, n=n, text_col=text_col, id_col=id_col
-    )
-    banded = (
-        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.concat_ws("", F.sort_array(F.collect_list("sig"))).alias("band_sig"))
-    )
+    ).persist()
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws(
+                "",
+                F.sort_array(
+                    F.array(
+                        *[
+                            F.col(f"sig{s}")
+                            for s in range(
+                                bi * rows_per_band, (bi + 1) * rows_per_band
+                            )
+                        ]
+                    )
+                ),
+            ).alias("band_sig"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sigs.select(
+        "id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -166,17 +206,17 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # estimate similarity from full signatures for the surviving candidates
-    s1 = sigs.select(F.col("id").alias("id_a"), "seed", F.col("sig").alias("sig_a"))
-    s2 = sigs.select(F.col("id").alias("id_b"), "seed", F.col("sig").alias("sig_b"))
+    match_sum = None
+    for s in range(num_hashes):
+        term = (F.col(f"a.sig{s}") == F.col(f"b.sig{s}")).cast("int")
+        match_sum = term if match_sum is None else match_sum + term
     est = (
-        cand.join(s1, "id_a")
-        .join(s2, ["id_b", "seed"])
-        .groupBy("id_a", "id_b")
-        .agg(
-            (F.sum((F.col("sig_a") == F.col("sig_b")).cast("int")) / num_hashes).alias(
-                "est_jaccard"
-            )
+        cand.join(sigs.alias("a"), F.col("a.id") == F.col("id_a"))
+        .join(sigs.alias("b"), F.col("b.id") == F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (match_sum / F.lit(float(num_hashes))).alias("est_jaccard"),
         )
     )
     return est
