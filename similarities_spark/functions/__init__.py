@@ -1,3 +1,17 @@
-from similarities_spark.functions import textops, dedup, ann, distances
+from similarities_spark.functions import (
+    ann,
+    dedup,
+    distances,
+    graph,
+    lexicon,
+    multimodal,
+    seqmatch,
+    textops,
+    tfidf,
+    w2v,
+)
 
-__all__ = ["textops", "dedup", "ann", "distances"]
+__all__ = [
+    "ann", "dedup", "distances", "graph", "lexicon",
+    "multimodal", "seqmatch", "textops", "tfidf", "w2v",
+]

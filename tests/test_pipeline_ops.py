@@ -247,3 +247,60 @@ def test_incremental_index_stream(spark, tmp_path):
     assert idx2.n_docs > n1
     hits = BM25QueryEngine(idx2).search("data web", topn=3)
     assert hits.count() > 0
+
+
+# ------------------------------------------------------------ seqmatch / w2v
+
+
+def test_lcs_ratio_pairs(spark):
+    from similarities_spark.functions import seqmatch
+
+    df = spark.createDataFrame(
+        [
+            (0, "hello world program", "say hello world now"),
+            (1, "abcdef", "xyz"),
+            (2, "same same", "same same"),
+        ],
+        "pair_id long, a string, b string",
+    )
+    rows = {
+        r["pair_id"]: (r["sz"], r["ratio"])
+        for r in df.select(
+            "pair_id",
+            seqmatch.longest_match_size(F.col("a"), F.col("b")).alias("sz"),
+            seqmatch.lcs_ratio(F.col("a"), F.col("b")).alias("ratio"),
+        ).collect()
+    }
+    assert rows[0][0] == len("hello world ")
+    assert rows[1][0] == 0 and rows[1][1] == 0.0
+    assert rows[2] == (9, 1.0)
+
+
+def test_w2v_shape_most_similar(spark):
+    from similarities_spark.functions import w2v
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "apple banana cherry fruit"),
+            (1, "apple banana fruit salad"),
+            (2, "quantum physics lecture notes"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, "apple banana")], "query_id long, text string"
+    )
+    hits = w2v.most_similar(corpus, queries, topn=3)
+    ranked = [
+        r["vec_id"] for r in sorted(hits.collect(), key=lambda r: r["rank"])
+    ]
+    assert set(ranked[:2]) == {0, 1}  # fruit docs beat the physics doc
+    # deterministic encoder: re-run identical
+    again = [
+        r["vec_id"]
+        for r in sorted(
+            w2v.most_similar(corpus, queries, topn=3).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    assert ranked == again
