@@ -135,17 +135,17 @@ def _dense_doc_ids(pages: DataFrame, sort_partitions: int) -> DataFrame:
     for pid, n in counts:
         offsets[pid] = acc
         acc += n
-    offset_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )
+    if offsets:
+        offset_map = F.create_map(
+            *[F.lit(x) for kv in offsets.items() for x in kv]
+        )
+        offset_expr = F.coalesce(offset_map[F.col("_pid")], F.lit(0)).cast("long")
+    else:  # empty input: no partitions ever produced rows
+        offset_expr = F.lit(0).cast("long")
     w = Window.partitionBy("_pid").orderBy("warc_ts", "url")
     out = ordered.withColumn(
         "doc_id",
-        (
-            F.row_number().over(w).cast("long")
-            - 1
-            + F.coalesce(offset_map[F.col("_pid")], F.lit(0)).cast("long")
-        ),
+        (F.row_number().over(w).cast("long") - 1 + offset_expr),
     ).drop("_pid")
     out._cached_sort_parent = ordered  # released once docs materialize
     return out
@@ -258,6 +258,12 @@ class BM25IndexBuilder:
 
         _mark("docs")
         n_docs = docs_meta["n_docs"]
+        if n_docs == 0:
+            raise ValueError(
+                "cannot build a BM25 index over an empty corpus (the "
+                "reference raises on empty corpora too, "
+                "literal_similarity.py:424-425)"
+            )
         lineage_key = (
             f"{input_desc}|{n_docs}|k1={cfg.k1}|b={cfg.b}"
             f"|eps={cfg.epsilon}|buckets={cfg.num_term_buckets}"

@@ -4,6 +4,13 @@ Strategy: block-max MaxScore, term-at-a-time (TAAT) — chosen over classic
 pointer-chasing DAAT WAND because it vectorizes: every inner step is a numpy
 op over whole blocks, never per-posting Python.
 
+Lineage (public literature): MaxScore essential/non-essential term split
+(Turtle & Flood, "Query evaluation: strategies and optimizations", 1995);
+WAND pivoting (Broder et al., CIKM 2003); per-block max-score metadata
+(Ding & Suel, "Faster top-k document retrieval using block-max indexes",
+SIGIR 2011). The exact-rescore pass on surviving candidates is this
+engine's addition to meet the bit-identical-scores contract.
+
 Rank-safety & score-exactness argument (the contract is BIT-IDENTICAL top-k
 scores vs the reference's dense scan, reference rank_bm25.py:100-114):
 
