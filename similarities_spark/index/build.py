@@ -27,8 +27,9 @@ Scale notes (the 1000-executor story):
 - No broadcast of vocab-sized or corpus-sized state anywhere.
 - Heavy-term skew is bounded by doc-range salting BEFORE groupBy(term, salt);
   AQE alone can't do this because a term's postings must stay sorted runs.
-- Dense doc_id uses sort + zipWithIndex (two narrow passes), not a global
-  single-partition window.
+- Dense doc_id uses range sort + per-partition offsets (two narrow JVM
+  passes), not a global single-partition window and not zipWithIndex
+  (which would pickle every row through Python).
 """
 
 from __future__ import annotations
@@ -38,12 +39,11 @@ import math
 import os
 import shutil
 import time
-from dataclasses import asdict
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Row, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -60,7 +60,11 @@ from similarities_spark.config import EngineConfig
 from similarities_spark.index import codec
 from similarities_spark.plans.manifest import completed_buckets, write_manifest
 from similarities_spark.sources.readers import extract_text
-from similarities_spark.tokenize import choose_corpus_tokenizer, make_tokenizer_udf
+from similarities_spark.tokenize import choose_corpus_tokenizer
+
+# bump whenever the block payload layout or block-table schema changes —
+# it participates in the resume lineage key
+FORMAT_VERSION = 1
 
 _BLOCK_SCHEMA = StructType(
     [
@@ -258,6 +262,8 @@ class BM25IndexBuilder:
 
         _mark("docs")
         n_docs = docs_meta["n_docs"]
+        # FORMAT_VERSION in the lineage key: a resume must never trust
+        # partitions written by an older block/payload layout
         if n_docs == 0:
             raise ValueError(
                 "cannot build a BM25 index over an empty corpus (the "
@@ -265,7 +271,7 @@ class BM25IndexBuilder:
                 "literal_similarity.py:424-425)"
             )
         lineage_key = (
-            f"{input_desc}|{n_docs}|k1={cfg.k1}|b={cfg.b}"
+            f"v{FORMAT_VERSION}|{input_desc}|{n_docs}|k1={cfg.k1}|b={cfg.b}"
             f"|eps={cfg.epsilon}|buckets={cfg.num_term_buckets}"
         )
 

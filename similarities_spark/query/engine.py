@@ -17,14 +17,15 @@ Physical plan (per query batch):
 
 Only blocks whose term matches some query term are ever shuffled; the big
 index never moves otherwise. The scorer task for one query holds that query's
-candidate blocks — for single-query latency at extreme scale a doc-sharded
-fan-out variant would split by salt range, which the fixed global salt ranges
-already support (future work, documented in SURVEY §7).
+candidate blocks; for single-query latency at extreme scale, search_df's
+``fan_out`` option shards scoring by doc-id range (the index's fixed global
+salt ranges) with a global top-k merge — bit-identical results, R-way
+parallel per query.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Union
+from typing import Dict, Optional, Sequence, Union
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
