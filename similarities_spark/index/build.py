@@ -64,8 +64,14 @@ from similarities_spark.tokenize import choose_corpus_tokenizer
 
 # bump whenever the block payload layout or block-table schema changes —
 # it participates in the resume lineage key
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
+# Block metadata is deliberately STATS-FREE: no idf/df/avgdl-derived values.
+# tf/dl extrema give valid (slightly loose) contribution bounds at query
+# time — g(tf_max, dl_min) >= g(tf_i, dl_i) since g is monotone up in tf,
+# down in dl. This makes segments IMMUTABLE: incremental merges append new
+# segments and refresh only the tiny term_stats/meta tables; no payload
+# decode or metadata rewrite of existing blocks is ever needed.
 _BLOCK_SCHEMA = StructType(
     [
         StructField("term", StringType()),
@@ -74,8 +80,10 @@ _BLOCK_SCHEMA = StructType(
         StructField("min_doc", LongType()),
         StructField("max_doc", LongType()),
         StructField("n_postings", IntegerType()),
-        StructField("max_g", DoubleType()),  # max of tf*(k1+1)/(tf+k1*norm)
-        StructField("min_g", DoubleType()),
+        StructField("tf_max", LongType()),
+        StructField("tf_min", LongType()),
+        StructField("dl_max", LongType()),
+        StructField("dl_min", LongType()),
         StructField("payload", BinaryType()),
     ]
 )
@@ -155,8 +163,8 @@ def _dense_doc_ids(pages: DataFrame, sort_partitions: int) -> DataFrame:
     return out
 
 
-def _make_block_encoder(cfg: EngineConfig, avgdl: float):
-    k1, b, block_size = cfg.k1, cfg.b, cfg.block_size
+def _make_block_encoder(cfg: EngineConfig):
+    block_size = cfg.block_size
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id", kind="mergesort")
@@ -165,11 +173,11 @@ def _make_block_encoder(cfg: EngineConfig, avgdl: float):
         dls = pdf["doc_len"].to_numpy(dtype=np.int64)
         term = pdf["term"].iloc[0]
         salt = int(pdf["salt"].iloc[0])
-        # g = the tf/length normalization factor; contribution = idf * g.
-        g = codec.contribs(tfs, dls, 1.0, avgdl, k1, b)
         starts = np.arange(0, len(doc_ids), block_size, dtype=np.int64)
-        g_max = np.maximum.reduceat(g, starts)
-        g_min = np.minimum.reduceat(g, starts)
+        tf_max = np.maximum.reduceat(tfs, starts)
+        tf_min = np.minimum.reduceat(tfs, starts)
+        dl_max = np.maximum.reduceat(dls, starts)
+        dl_min = np.minimum.reduceat(dls, starts)
         blocks = codec.encode_blocks_batch(doc_ids, tfs, dls, block_size)
         rows = [
             (
@@ -179,8 +187,10 @@ def _make_block_encoder(cfg: EngineConfig, avgdl: float):
                 int(doc_ids[lo]),
                 int(doc_ids[hi - 1]),
                 hi - lo,
-                float(g_max[bi]),
-                float(g_min[bi]),
+                int(tf_max[bi]),
+                int(tf_min[bi]),
+                int(dl_max[bi]),
+                int(dl_min[bi]),
                 payload,
             )
             for bi, (payload, lo, hi) in enumerate(blocks)
@@ -332,7 +342,6 @@ class BM25IndexBuilder:
             ckpt,
             lineage_key,
             n_docs=n_docs,
-            avgdl=avgdl,
             done_buckets=set(done),
             fail_after_groups=_fail_after_groups,
         )
@@ -456,7 +465,6 @@ class BM25IndexBuilder:
         ckpt: str,
         lineage_key: str,
         n_docs: int,
-        avgdl: float,
         done_buckets: set,
         fail_after_groups: Optional[int] = None,
     ):
@@ -477,20 +485,16 @@ class BM25IndexBuilder:
             )
             .drop("_heavy")
         )
-        encoder = _make_block_encoder(cfg, avgdl)
-        blocks = salted.groupBy("term", "salt").applyInPandas(encoder, _BLOCK_SCHEMA)
-        blocks = blocks.join(
-            term_stats.select("term", "df", "idf"), "term", "inner"
+        encoder = _make_block_encoder(cfg)
+        # NO stats join: blocks are immutable, stats-free segments (idf/df
+        # are looked up from term_stats at query time — see FORMAT_VERSION
+        # note). Incremental merges can therefore append segments without
+        # touching existing data.
+        blocks = salted.groupBy("term", "salt").applyInPandas(
+            encoder, _BLOCK_SCHEMA
         ).withColumn(
             "bucket",
             F.pmod(F.xxhash64("term"), F.lit(cfg.num_term_buckets)).cast("int"),
-        ).withColumn(
-            # exact upper bound of this block's contribution (idf may be <0
-            # after the epsilon floor on tiny corpora)
-            "max_contrib",
-            F.when(F.col("idf") >= 0, F.col("idf") * F.col("max_g")).otherwise(
-                F.col("idf") * F.col("min_g")
-            ),
         )
         blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -124,16 +124,20 @@ class BM25QueryEngine:
             "min_doc",
             "max_doc",
             "n_postings",
-            "df",
-            "idf",
-            "max_contrib",
-            "max_g",
-            "min_g",
+            "tf_max",
+            "tf_min",
+            "dl_max",
+            "dl_min",
             "payload",
+        )
+        # blocks are stats-free (immutable segments); the per-term df/idf
+        # ride in on the tiny broadcast query side instead
+        qstats = qterms.join(
+            self.index.term_stats().select("term", "df", "idf"), "term", "left"
         )
         # query-term side is tiny -> broadcast into the index scan; Catalyst
         # pushes the bucket/term equality into the parquet scan
-        qblocks = F.broadcast(qterms).join(blocks, "term", "inner")
+        qblocks = F.broadcast(qstats).join(blocks, "term", "inner")
 
         if fan_out:
             per = max(1, (n_docs + fan_out - 1) // fan_out)

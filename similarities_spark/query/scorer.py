@@ -76,7 +76,8 @@ def score_query(
     """-> (top doc_ids, exact scores, n_matched, needs_pad, pad_score).
 
     ``term_blocks`` columns: term, salt, block_id, min_doc, max_doc,
-    n_postings, df, idf, max_contrib, payload — this query's terms only.
+    n_postings, tf_max, tf_min, dl_max, dl_min, payload, plus the
+    query-side df/idf — this query's terms only.
 
     ``pad_score`` is the exact score of a doc matching NO query term: 0.0
     for Okapi/BM25L; for BM25Plus each known token contributes idf*delta to
@@ -116,11 +117,25 @@ def score_query(
     for t in terms:
         g = groups[t]
         idf = term_idf(g)
-        mx = float(g["max_contrib"].max())
-        # min possible single-posting contribution of this term
-        mn = float(
-            np.minimum(idf * g["max_g"].to_numpy(), idf * g["min_g"].to_numpy()).min()
+        # bounds from per-block tf/dl extrema (stats-free block metadata):
+        # the contribution g is monotone up in tf and down in dl, so
+        # g(tf_max, dl_min) / g(tf_min, dl_max) bound every posting
+        g_hi = _variants.matched_contribs(
+            variant,
+            g["tf_max"].to_numpy(dtype=np.int64),
+            g["dl_min"].to_numpy(dtype=np.int64),
+            1.0, avgdl, k1, b, delta,
         )
+        g_lo = _variants.matched_contribs(
+            variant,
+            g["tf_min"].to_numpy(dtype=np.int64),
+            g["dl_max"].to_numpy(dtype=np.int64),
+            1.0, avgdl, k1, b, delta,
+        )
+        if idf >= 0:
+            mx, mn = float((idf * g_hi).max()), float((idf * g_lo).min())
+        else:
+            mx, mn = float((idf * g_lo).max()), float((idf * g_hi).min())
         ub[t] = occ[t] * max(mx, 0.0)
         lb[t] = occ[t] * min(mn, 0.0)
     order = sorted(terms, key=lambda t: -ub[t])

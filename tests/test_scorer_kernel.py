@@ -40,8 +40,6 @@ def build_blocks_pdf(corpus_tokens, oracle: BM25Oracle, block_size=8, num_salts=
                 ids = np.array([x[0] for x in blk], dtype=np.int64)
                 tfs = np.array([x[1] for x in blk], dtype=np.int64)
                 dls = np.array([x[2] for x in blk], dtype=np.int64)
-                g = codec.contribs(tfs, dls, 1.0, oracle.avgdl, oracle.k1, oracle.b)
-                max_c = idf * g.max() if idf >= 0 else idf * g.min()
                 rows.append(
                     dict(
                         term=term,
@@ -52,9 +50,10 @@ def build_blocks_pdf(corpus_tokens, oracle: BM25Oracle, block_size=8, num_salts=
                         max_doc=int(ids[-1]),
                         n_postings=len(blk),
                         idf=idf,
-                        max_contrib=float(max_c),
-                        max_g=float(g.max()),
-                        min_g=float(g.min()),
+                        tf_max=int(tfs.max()),
+                        tf_min=int(tfs.min()),
+                        dl_max=int(dls.max()),
+                        dl_min=int(dls.min()),
                         payload=codec.encode_block(ids, tfs, dls),
                     )
                 )
