@@ -362,6 +362,8 @@ class BM25IndexBuilder:
             "n_dups_dropped": docs_meta["n_input_rows"] - n_docs,
             "build_wall_s": time.time() - t0,
             "stage_wall_s": stage_wall,
+            "salt_per_range": cfg.salt_bounds(n_docs),
+            "increments": [],
             "config": {
                 "k1": cfg.k1,
                 "b": cfg.b,
@@ -380,6 +382,165 @@ class BM25IndexBuilder:
                 "checkpoint_groups": cfg.checkpoint_groups,
             },
         }
+        with open(os.path.join(index_dir, "meta.json"), "w", encoding="utf-8") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+        return BM25Index(self.spark, index_dir)
+
+    def merge_new_docs(self, new_webtext: DataFrame, index_dir: str) -> BM25Index:
+        """Incremental add_corpus: append new docs WITHOUT touching existing
+        segments (they are stats-free and immutable — see FORMAT_VERSION
+        note). The reference rebuilds its whole in-memory index per
+        add_corpus (literal_similarity.py:406-414); this is the scale
+        replacement: work is proportional to the NEW batch plus a vocab-size
+        stats refresh. Results match a full rebuild over the accumulated
+        corpus exactly (same df/N/avgdl/idf; new docs get ids old_N..).
+
+        Reference dedup semantics hold across the boundary: a new doc whose
+        text equals ANY existing corpus text is silently dropped
+        (literal_similarity.py:394,399), then keep-first within the batch.
+        """
+        cfg = self.cfg
+        t0 = time.time()
+        idx = BM25Index(self.spark, index_dir)
+        old_n = idx.n_docs
+        old_docs = idx.docs()
+
+        pages = extract_text(new_webtext).select("url", "warc_ts", "text")
+        pages = pages.join(old_docs.select("text"), "text", "left_anti")
+        w = Window.partitionBy("text").orderBy("warc_ts", "url")
+        deduped = (
+            pages.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        sort_parts = max(1, self.spark.sparkContext.defaultParallelism)
+        with_ids = _dense_doc_ids(deduped, sort_parts)
+        # localCheckpoint TRUNCATES lineage: the append below rewrites the
+        # very docs path this batch's anti-join reads, and Spark's
+        # recacheByPath would otherwise recompute the batch against the
+        # appended files (filtering everything out). A lineage-free copy is
+        # immune.
+        new_docs = with_ids.select(
+            (F.col("doc_id") + F.lit(old_n)).alias("doc_id"), "url", "text"
+        ).localCheckpoint(eager=True)
+        m_new = new_docs.count()
+        parent = getattr(with_ids, "_cached_sort_parent", None)
+        if parent is not None:
+            parent.unpersist()
+        if m_new == 0:
+            return idx
+        new_docs.write.mode("append").parquet(
+            os.path.join(index_dir, "docs")
+        )
+
+        _, tok_fn = choose_corpus_tokenizer(cfg.stopwords, cfg.tokenizer)
+        tokenized = new_docs.select(
+            "doc_id", tok_fn(F.col("text")).alias("tokens")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        postings = (
+            tokenized.select(
+                "doc_id",
+                F.size("tokens").alias("doc_len"),
+                F.explode("tokens").alias("term"),
+            )
+            .groupBy("term", "doc_id", "doc_len")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+
+        # ---- stats refresh: combined df over old term_stats + new postings
+        df_new = postings.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df_new"),
+            F.sum("tf").alias("tok_new"),
+        )
+        combined = (
+            idx.term_stats()
+            .select("term", F.col("df").alias("df_old"))
+            .join(df_new, "term", "full_outer")
+            .select(
+                "term",
+                (
+                    F.coalesce(F.col("df_old"), F.lit(0))
+                    + F.coalesce(F.col("df_new"), F.lit(0))
+                ).alias("df"),
+            )
+        )
+        n_total = old_n + m_new
+        raw = combined.withColumn(
+            "idf_raw", _idf_raw_udf(F.col("df"), F.lit(n_total).cast("long"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        g = raw.agg(
+            F.sum("idf_raw").alias("s"),
+            F.count(F.lit(1)).alias("v"),
+            F.sum("df").alias("np"),
+        ).collect()[0]
+        vocab_size = int(g["v"] or 0)
+        average_idf = float(g["s"]) / vocab_size if vocab_size else 0.0
+        eps = cfg.epsilon * average_idf
+        new_tokens = int(
+            df_new.agg(F.sum("tok_new").alias("t")).collect()[0]["t"] or 0
+        )
+        stats = raw.select(
+            "term",
+            "df",
+            F.when(F.col("idf_raw") < 0, F.lit(eps))
+            .otherwise(F.col("idf_raw"))
+            .alias("idf"),
+        )
+        tmp_stats = os.path.join(index_dir, "term_stats_next")
+        stats.write.mode("overwrite").parquet(tmp_stats)
+        raw.unpersist()
+
+        # ---- append NEW segments (salts beyond the old ranges: new doc ids
+        # all exceed old_n, so sorted-run and no-collision properties hold)
+        per_salt = idx.meta.get("salt_per_range") or cfg.salt_bounds(old_n)
+        heavy = (
+            self.spark.read.parquet(tmp_stats)
+            .filter(F.col("df") >= cfg.salt_df_threshold)
+            .select("term", F.lit(True).alias("_heavy"))
+        )
+        salted = (
+            postings.join(F.broadcast(heavy), "term", "left")
+            .withColumn(
+                "salt",
+                F.when(
+                    F.col("_heavy").isNotNull(),
+                    (F.col("doc_id") / F.lit(per_salt)).cast("int"),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_heavy")
+        )
+        encoder = _make_block_encoder(cfg)
+        blocks = salted.groupBy("term", "salt").applyInPandas(
+            encoder, _BLOCK_SCHEMA
+        ).withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(cfg.num_term_buckets)).cast("int"),
+        )
+        blocks.write.mode("append").partitionBy("bucket").parquet(
+            os.path.join(index_dir, "blocks")
+        )
+        postings.unpersist()
+        tokenized.unpersist()
+
+        # ---- swap stats, update meta (the commit marker)
+        final_stats = os.path.join(index_dir, "term_stats")
+        shutil.rmtree(final_stats, ignore_errors=True)
+        os.replace(tmp_stats, final_stats)
+        meta = dict(idx.meta)
+        meta["n_docs"] = n_total
+        meta["total_tokens"] = meta["total_tokens"] + new_tokens
+        meta["avgdl"] = meta["total_tokens"] / n_total
+        meta["vocab_size"] = vocab_size
+        meta["average_idf"] = average_idf
+        meta["n_postings"] = int(g["np"] or 0)
+        meta.setdefault("increments", []).append(
+            {
+                "added_docs": int(m_new),
+                "added_tokens": new_tokens,
+                "wall_s": round(time.time() - t0, 2),
+            }
+        )
         with open(os.path.join(index_dir, "meta.json"), "w", encoding="utf-8") as f:
             json.dump(meta, f, indent=1, sort_keys=True)
         return BM25Index(self.spark, index_dir)

@@ -45,10 +45,15 @@ def incremental_index_stream(
         if batch_df.isEmpty():
             return
         batch_df.write.mode("append").parquet(staging_dir)
-        corpus = spark.read.parquet(staging_dir)
-        BM25IndexBuilder(spark, cfg).build(
-            corpus, index_dir, input_desc=f"stream-batch-{batch_id}"
-        )
+        builder = BM25IndexBuilder(spark, cfg)
+        if os.path.exists(os.path.join(index_dir, "meta.json")):
+            # incremental merge: append-only segments + stats refresh —
+            # result provably identical to a full rebuild over the
+            # accumulated corpus (tests/test_incremental_merge.py)
+            builder.merge_new_docs(batch_df, index_dir)
+        else:
+            corpus = spark.read.parquet(staging_dir)
+            builder.build(corpus, index_dir, input_desc=f"stream-batch-{batch_id}")
 
     writer = stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation",

@@ -1,0 +1,71 @@
+"""Incremental merge == full rebuild (SURVEY §7 incremental extension).
+
+Immutable stats-free segments let merge_new_docs append the new batch and
+refresh only term_stats/meta. This suite proves the merged index answers
+queries identically (ids exact, scores to documented ulp tolerance) to a
+full rebuild over the accumulated corpus, including cross-boundary dedup.
+"""
+
+import pytest
+
+from similarities_spark.config import EngineConfig
+from similarities_spark.index.build import BM25IndexBuilder
+from similarities_spark.query.engine import BM25QueryEngine
+from similarities_spark.sources.synth import synth_webtext_pandas
+
+CFG = EngineConfig(
+    stopwords=frozenset({"the"}),
+    block_size=16,
+    num_term_buckets=4,
+    salt_df_threshold=30,
+    num_salts=4,
+)
+
+QUERIES = ["data web w0003", "of and w0001 w0002", "zzz-none", "w0007 w0009"]
+
+
+def test_merge_equals_full_rebuild(spark, tmp_path):
+    pdf = synth_webtext_pandas(n_docs=180, seed=13, dup_fraction=0.05)
+    # plant a cross-boundary duplicate: a batch-2 doc equal to a batch-1 doc
+    pdf.loc[150, "text"] = pdf.loc[10, "text"]
+    batch1 = spark.createDataFrame(pdf.iloc[:100])
+    batch2 = spark.createDataFrame(pdf.iloc[100:])
+    full = spark.createDataFrame(pdf)
+
+    builder = BM25IndexBuilder(spark, CFG)
+    inc_dir = str(tmp_path / "inc")
+    idx1 = builder.build(batch1, inc_dir, input_desc="b1")
+    n1 = idx1.n_docs
+    merged = builder.merge_new_docs(batch2, inc_dir)
+    assert merged.n_docs > n1
+    assert merged.meta["increments"][0]["added_docs"] == merged.n_docs - n1
+
+    ref = builder.build(full, str(tmp_path / "full"), input_desc="full")
+    assert merged.n_docs == ref.n_docs  # cross-boundary dup dropped once
+    assert merged.meta["avgdl"] == ref.meta["avgdl"]
+    assert merged.meta["vocab_size"] == ref.meta["vocab_size"]
+    assert merged.meta["n_postings"] == ref.meta["n_postings"]
+    assert merged.meta["average_idf"] == pytest.approx(
+        ref.meta["average_idf"], rel=1e-12
+    )
+
+    h_m = BM25QueryEngine(merged).search(QUERIES, topn=10).collect()
+    h_f = BM25QueryEngine(ref).search(QUERIES, topn=10).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    for rm, rf in zip(sorted(h_m, key=key), sorted(h_f, key=key)):
+        assert (rm["query_id"], rm["rank"], rm["doc_id"]) == (
+            rf["query_id"],
+            rf["rank"],
+            rf["doc_id"],
+        )
+        assert rm["score"] == pytest.approx(rf["score"], rel=1e-12)
+
+
+def test_merge_all_duplicates_is_noop(spark, tmp_path):
+    pdf = synth_webtext_pandas(n_docs=50, seed=17)
+    builder = BM25IndexBuilder(spark, CFG)
+    d = str(tmp_path / "noop")
+    idx = builder.build(spark.createDataFrame(pdf), d, input_desc="x")
+    again = builder.merge_new_docs(spark.createDataFrame(pdf), d)
+    assert again.n_docs == idx.n_docs
+    assert again.meta["avgdl"] == idx.meta["avgdl"]
