@@ -74,7 +74,7 @@ def main():
                    "PushedFilters: [IsNotNull(term), EqualTo(term,dup)]" in bp
                    or "EqualTo(term,dup)" in bp))
     checks.append(("blocks scan reads only needed columns",
-                   "ReadSchema" in bp and "max_g" not in bp.split("ReadSchema")[1][:200]))
+                   "ReadSchema" in bp and "tf_max" not in bp.split("ReadSchema")[1][:200]))
     pp = sections[2][1]
     checks.append(("postings agg is partial+final hash agg",
                    pp.count("HashAggregate") >= 2))
