@@ -422,6 +422,33 @@ def q_mrr_eval(spark, sf_dir):
     return out.select(F.col("k").cast("long"), F.round("mrr", 9).alias("mrr_r"))
 
 
+def q_event_window_counts(spark, sf_dir):
+    """Tumbling-window aggregation over the events stream table — the same
+    plan streaming/incremental.windowed_event_counts binds a watermark to
+    in readStream mode; here run as batch for the oracle comparison. Also
+    exercises get_json_object on the props column."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.max(
+                F.get_json_object(F.col("props"), "$.k").cast("long")
+            ).alias("max_k"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            F.col("n").cast("long"),
+            "sum_value",
+            "max_k",
+        )
+    )
+
+
 def q_lsh_cosine_topk(spark, sf_dir):
     """Approximate ANN — deterministic but not SQL-expressible compactly;
     driver records the weaker rows-only check (documented)."""
@@ -469,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "dedup_clusters": q_dedup_clusters,
         "mrr_eval": q_mrr_eval,
+        "event_window_counts": q_event_window_counts,
     }
 
 
@@ -971,6 +999,16 @@ SELECT 0::BIGINT AS query_id,
 FROM fused QUALIFY rank <= 20
 """
     )
+
+    sqls["event_window_counts"] = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 6) AS sum_value,
+       max((props ->> 'k')::BIGINT) AS max_k
+FROM events
+GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+"""
 
     sqls["bm25l_topk"] = _bm25_variant_sql("bm25l")
     sqls["bm25plus_topk"] = _bm25_variant_sql("bm25plus")
