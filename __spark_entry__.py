@@ -60,6 +60,11 @@ def _get_index(spark: SparkSession, sf_dir: str) -> BM25Index:
     if key not in _INDEX_CACHE:
         cfg = EngineConfig(
             stopwords=frozenset(),
+            # pinned JVM regexp tokenizer: the DuckDB oracles tokenize with
+            # the same TOKEN_RE, so the driver-contract path must never pick
+            # jieba even if it appears in the environment ('auto' stays the
+            # default for user-facing builds)
+            tokenizer="jvm",
             block_size=128,
             num_term_buckets=16,
             salt_df_threshold=300,
@@ -79,7 +84,13 @@ def _get_index(spark: SparkSession, sf_dir: str) -> BM25Index:
 
 # ---------------------------------------------------------------------------
 # tokenized views (JVM regexp — byte-equivalent to the engine tokenizer on
-# this ASCII corpus; dedup keep-first replicates reference ingest semantics)
+# this ASCII corpus).
+#
+# BM25 entries use the FULL corpus: reference add_corpus keeps within-batch
+# duplicate texts (its membership check runs against the static pre-batch
+# corpus, literal_similarity.py:389-401), so dup texts are real corpus
+# members that inflate N/df/avgdl. The near-dup operators (ngram/minhash/
+# simhash/tfidf/clusters) run over exact-deduped docs — their natural input.
 
 
 def _dedup_docs(spark, sf_dir):
@@ -92,11 +103,14 @@ def _dedup_docs(spark, sf_dir):
     )
 
 
-def _tok(spark, sf_dir):
-    d = _dedup_docs(spark, sf_dir)
+def _tok_from(d: DataFrame) -> DataFrame:
     return d.select(
         "doc_id", F.explode(textops.tokens_col(F.col("text"))).alias("term")
     )
+
+
+def _tok(spark, sf_dir):
+    return _tok_from(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
 # ---------------------------------------------------------------------------
@@ -351,7 +365,12 @@ def q_tfidf_topk(spark, sf_dir):
         "query_id long, term string",
     ).groupBy("query_id", "term").agg(F.count(F.lit(1)).alias("qtf"))
     n_docs = d.count()
-    post = q_bm25_postings(spark, sf_dir)
+    post = (
+        _tok_from(d)
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("term", F.col("doc_id").cast("long"), F.col("tf").cast("long"))
+    )
     idf_s = (
         post.groupBy("term")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -504,14 +523,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 
 
-def _sql_prefix() -> str:
-    """Shared CTEs: dedup (keep-first) + tokenization + BM25 statistics,
-    replicating the engine exactly (see similarities_spark/oracle.py)."""
-    return f"""
-WITH docs AS (
+def _sql_prefix(dedup: bool = False) -> str:
+    """Shared CTEs: tokenization + BM25 statistics, replicating the engine
+    exactly (see similarities_spark/oracle.py). ``dedup=False`` (BM25 family)
+    keeps within-batch duplicate texts like reference add_corpus
+    (literal_similarity.py:389-401); ``dedup=True`` is the exact-dedup view
+    the near-dup operators run over."""
+    docs_cte = (
+        """
   SELECT doc_id, text FROM documents
   QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
-),
+"""
+        if dedup
+        else "\n  SELECT doc_id, text FROM documents\n"
+    )
+    return f"""
+WITH docs AS ({docs_cte}),
 tok AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '{TOKEN_RE}')) AS term
   FROM docs
@@ -669,7 +696,7 @@ def _tfidf_topk_sql() -> str:
         for t in q.split()
     )
     return (
-        _sql_prefix()
+        _sql_prefix(dedup=True)
         + f""",
 idf_s AS (
   SELECT term, ln((n_docs + 1.0) / (df + 1.0)) + 1.0 AS idf FROM dfreq, nn
@@ -709,7 +736,7 @@ FROM (
 
 
 def _dedup_clusters_sql() -> str:
-    base = _sql_prefix() + _shingle_sql()
+    base = _sql_prefix(dedup=True) + _shingle_sql()
     # recursive closure needs WITH RECURSIVE up front
     base = base.replace("WITH docs AS", "WITH RECURSIVE docs AS", 1)
     return (
@@ -757,7 +784,7 @@ def _simhash_sql() -> str:
         w = -(2**63) if j == 0 else 2 ** (63 - j)
         weights.append(f"CASE WHEN v{j} > 0 THEN ({w})::BIGINT ELSE 0 END")
     return (
-        _sql_prefix()
+        _sql_prefix(dedup=True)
         + f""",
 tfs AS (
   SELECT doc_id AS id, term AS tok, count(*)::BIGINT AS tf,
@@ -789,7 +816,8 @@ shc AS (SELECT id, shingle FROM sh WHERE shingle <> '')
 
 
 def oracle_sql() -> dict[str, str]:
-    pre = _sql_prefix()
+    pre = _sql_prefix()          # BM25 family: full corpus, dups kept
+    pre_d = _sql_prefix(dedup=True)  # near-dup operators: exact-deduped docs
     sqls: dict[str, str] = {}
 
     sqls["bm25_topk"] = _bm25_topk_sql()
@@ -827,7 +855,7 @@ FROM documents GROUP BY md5(text) HAVING count(*) > 1
 """
 
     sqls["ngram_jaccard_pairs"] = (
-        pre
+        pre_d
         + _shingle_sql()
         + """,
 sizes AS (SELECT id, count(*)::BIGINT AS n_sh FROM shc GROUP BY id),
@@ -846,7 +874,7 @@ WHERE round(i / (sa.n_sh + sb.n_sh - i), 6) >= 0.08
     )
 
     sqls["minhash_lsh_pairs"] = (
-        pre
+        pre_d
         + _shingle_sql()
         + """,
 seeds AS (SELECT unnest(range(0, 16)) AS seed),

@@ -4,10 +4,13 @@ Pipeline (all relational work is declarative DataFrame ops; Python only in
 the tokenizer UDF and the Arrow block encoder):
 
   webtext scan (column-pruned: url, warc_ts, text)
-    -> exact-text dedup keep-first in ingestion order          [shuffle: text]
-       (reference semantics: literal_similarity.py:394,399)
     -> dense doc_id 0..N-1 in (warc_ts, url) order             [range shuffle]
-       (deterministic ingestion order == reference list order)
+       (deterministic ingestion order == reference list order; NO dedup on
+       the initial build: reference add_corpus checks new docs only against
+       the PRE-EXISTING corpus, which is empty/static during one ingest, so
+       within-batch duplicate texts are kept and inflate N/df/avgdl exactly
+       like the reference — literal_similarity.py:389-401. Cross-batch dedup
+       happens in merge_new_docs.)
     -> tokenize (Arrow pandas UDF, corpus mode)
     -> postings: explode(tokens) -> groupBy(term, doc_id, dl)  [shuffle: term,doc]
        (partial map-side agg via Catalyst; dl rides along, no doc join)
@@ -142,23 +145,32 @@ def _dense_doc_ids(pages: DataFrame, sort_partitions: int) -> DataFrame:
         (int(r["_pid"]), int(r["n"]))
         for r in ordered.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
     )
-    offsets = {}
+    offsets = []
     acc = 0
     for pid, n in counts:
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += n
-    if offsets:
-        offset_map = F.create_map(
-            *[F.lit(x) for kv in offsets.items() for x in kv]
-        )
-        offset_expr = F.coalesce(offset_map[F.col("_pid")], F.lit(0)).cast("long")
-    else:  # empty input: no partitions ever produced rows
-        offset_expr = F.lit(0).cast("long")
+    # tiny (pid, offset) table joined broadcast — NOT an F.create_map plan
+    # literal, which at 10^5+ input partitions would bloat every plan that
+    # references doc_id. The broadcast join is narrow on the streamed side,
+    # so the window below still runs without an extra shuffle.
+    spark = pages.sparkSession
+    offsets_df = spark.createDataFrame(
+        offsets, "_pid int, _offset long"
+    )
     w = Window.partitionBy("_pid").orderBy("warc_ts", "url")
-    out = ordered.withColumn(
-        "doc_id",
-        (F.row_number().over(w).cast("long") - 1 + offset_expr),
-    ).drop("_pid")
+    out = (
+        ordered.join(F.broadcast(offsets_df), "_pid", "left")
+        .withColumn(
+            "doc_id",
+            (
+                F.row_number().over(w).cast("long")
+                - 1
+                + F.coalesce(F.col("_offset"), F.lit(0).cast("long"))
+            ),
+        )
+        .drop("_pid", "_offset")
+    )
     out._cached_sort_parent = ordered  # released once docs materialize
     return out
 
@@ -396,8 +408,10 @@ class BM25IndexBuilder:
         corpus exactly (same df/N/avgdl/idf; new docs get ids old_N..).
 
         Reference dedup semantics hold across the boundary: a new doc whose
-        text equals ANY existing corpus text is silently dropped
-        (literal_similarity.py:394,399), then keep-first within the batch.
+        text equals ANY pre-existing corpus text is silently dropped, but
+        duplicates WITHIN the new batch are kept (the reference's membership
+        check runs against the static pre-batch corpus,
+        literal_similarity.py:389-401).
         """
         cfg = self.cfg
         t0 = time.time()
@@ -406,15 +420,10 @@ class BM25IndexBuilder:
         old_docs = idx.docs()
 
         pages = extract_text(new_webtext).select("url", "warc_ts", "text")
+        # left_anti never multiplies rows even when old texts are duplicated
         pages = pages.join(old_docs.select("text"), "text", "left_anti")
-        w = Window.partitionBy("text").orderBy("warc_ts", "url")
-        deduped = (
-            pages.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
         sort_parts = max(1, self.spark.sparkContext.defaultParallelism)
-        with_ids = _dense_doc_ids(deduped, sort_parts)
+        with_ids = _dense_doc_ids(pages, sort_parts)
         # localCheckpoint TRUNCATES lineage: the append below rewrites the
         # very docs path this batch's anti-join reads, and Spark's
         # recacheByPath would otherwise recompute the batch against the
@@ -548,19 +557,17 @@ class BM25IndexBuilder:
     # ---------- stages ----------
 
     def _build_docs(self, webtext: DataFrame, docs_path: str, input_desc: str):
+        # NO dedup on the initial build: reference add_corpus keeps
+        # within-batch duplicate texts (its membership check runs against the
+        # static pre-batch corpus, literal_similarity.py:389-401) — so every
+        # input row becomes a corpus doc and inflates N/df/avgdl exactly like
+        # the reference. This also removes a full-corpus text-keyed shuffle
+        # from the build path. Cross-batch dedup lives in merge_new_docs.
         pages = extract_text(webtext).select("url", "warc_ts", "text")
-        n_input = pages.count()
-        # keep-first exact-text dedup in ingestion order
-        w = Window.partitionBy("text").orderBy("warc_ts", "url")
-        deduped = (
-            pages.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
         sort_parts = max(
             1, self.spark.sparkContext.defaultParallelism
         )
-        with_ids = _dense_doc_ids(deduped, sort_parts)
+        with_ids = _dense_doc_ids(pages, sort_parts)
         # keep the sort_parts-way partitioned DF alive for the tokenize
         # stage: re-reading the freshly written parquet would re-pack it
         # into ~size/maxPartitionBytes partitions and serialize tokenization
@@ -574,7 +581,7 @@ class BM25IndexBuilder:
             parent.unpersist()
         meta = {
             "n_docs": int(n_docs),
-            "n_input_rows": int(n_input),
+            "n_input_rows": int(n_docs),  # no initial-build dedup: 1:1
             "input_desc": input_desc,
         }
         return docs, meta

@@ -6,8 +6,10 @@ Schema matches BASELINE.json input_hint:
 Properties engineered into the corpus (seeded, no wall clock, no downloads):
 - Zipfian token frequencies -> head-term skew for salting tests.
 - zh + en + mixed docs -> exercises CJK segmentation and stopword filtering.
-- exact-text duplicate pairs -> exercises reference dedup semantics
-  (reference literal_similarity.py:394,399 silently drops repeated texts).
+- exact-text duplicate pairs -> exercises reference ingest semantics
+  (reference literal_similarity.py:389-401: within-batch duplicate texts are
+  KEPT by add_corpus — the membership check runs against the static
+  pre-batch corpus — while a later add_corpus drops cross-batch repeats).
 - stopword-only and empty docs -> doc_len 0 after corpus filtering.
 - html = b"<html><body>" + text + b"</body></html>" so the byte-identical
   text-extraction invariant is testable.

@@ -1,9 +1,10 @@
 """End-to-end: synth webtext -> distributed index build -> distributed query
 -> parity vs the vendored single-node oracle (SURVEY §5.1).
 
-The corpus is engineered to exercise: exact-text dedup, CJK + latin tokens,
-stopword filtering, epsilon-floored negative idfs, head-term salting, empty
-docs, duplicate query tokens, unknown terms, and zero-score padding.
+The corpus is engineered to exercise: within-batch duplicate texts (KEPT,
+reference add_corpus semantics), CJK + latin tokens, stopword filtering,
+epsilon-floored negative idfs, head-term salting, empty docs, duplicate
+query tokens, unknown terms, and zero-score padding.
 """
 
 import numpy as np
@@ -27,23 +28,19 @@ CFG = EngineConfig(
 
 
 def reference_corpus(pdf: pd.DataFrame):
-    """Reference ingestion semantics: order by (warc_ts, url), drop exact-text
-    repeats keeping the first (literal_similarity.py:389-401)."""
+    """Reference ingestion semantics: a single add_corpus over an empty model
+    keeps EVERY row — including within-batch duplicate texts (the membership
+    check runs against the static pre-batch corpus,
+    literal_similarity.py:389-401). Order by (warc_ts, url) = list order."""
     pdf = pdf.sort_values(["warc_ts", "url"], kind="mergesort")
-    seen, texts = set(), []
-    for t in pdf["text"]:
-        if t in seen:
-            continue
-        seen.add(t)
-        texts.append(t)
-    return texts
+    return list(pdf["text"])
 
 
 @pytest.fixture(scope="module")
 def built(spark, tmp_path_factory):
     pdf = synth_webtext_pandas(n_docs=150, seed=7, dup_fraction=0.08)
     texts = reference_corpus(pdf)
-    assert len(texts) < len(pdf)  # dedup actually exercised
+    assert len(set(texts)) < len(texts)  # dup-keeping semantics exercised
     idx_dir = str(tmp_path_factory.mktemp("bm25_index"))
     builder = BM25IndexBuilder(spark, CFG)
     index = builder.build(

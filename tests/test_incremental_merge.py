@@ -1,11 +1,15 @@
-"""Incremental merge == full rebuild (SURVEY §7 incremental extension).
+"""Incremental merge == full rebuild over the reference-equivalent corpus.
 
 Immutable stats-free segments let merge_new_docs append the new batch and
-refresh only term_stats/meta. This suite proves the merged index answers
-queries identically (ids exact, scores to documented ulp tolerance) to a
-full rebuild over the accumulated corpus, including cross-boundary dedup.
+refresh only term_stats/meta. Reference add_corpus semantics are
+path-dependent: a second add_corpus drops docs whose text already exists in
+the PRE-EXISTING corpus but keeps within-batch dups
+(literal_similarity.py:389-401). So merge(b1, b2) must equal a full rebuild
+over b1 + (b2 minus texts present in b1) — which is what this suite asserts
+(ids exact, scores to documented ulp tolerance).
 """
 
+import pandas as pd
 import pytest
 
 from similarities_spark.config import EngineConfig
@@ -28,9 +32,17 @@ def test_merge_equals_full_rebuild(spark, tmp_path):
     pdf = synth_webtext_pandas(n_docs=180, seed=13, dup_fraction=0.05)
     # plant a cross-boundary duplicate: a batch-2 doc equal to a batch-1 doc
     pdf.loc[150, "text"] = pdf.loc[10, "text"]
-    batch1 = spark.createDataFrame(pdf.iloc[:100])
-    batch2 = spark.createDataFrame(pdf.iloc[100:])
-    full = spark.createDataFrame(pdf)
+    b1_pdf, b2_pdf = pdf.iloc[:100], pdf.iloc[100:]
+    batch1 = spark.createDataFrame(b1_pdf)
+    batch2 = spark.createDataFrame(b2_pdf)
+    # reference-equivalent accumulated corpus: batch-2 rows whose text
+    # already exists in batch-1 are dropped; within-batch dups stay
+    b1_texts = set(b1_pdf["text"])
+    expected_pdf = pd.concat(
+        [b1_pdf, b2_pdf[~b2_pdf["text"].isin(b1_texts)]], ignore_index=True
+    )
+    assert len(expected_pdf) < len(pdf)  # cross-boundary dedup exercised
+    full = spark.createDataFrame(expected_pdf)
 
     builder = BM25IndexBuilder(spark, CFG)
     inc_dir = str(tmp_path / "inc")
@@ -41,7 +53,7 @@ def test_merge_equals_full_rebuild(spark, tmp_path):
     assert merged.meta["increments"][0]["added_docs"] == merged.n_docs - n1
 
     ref = builder.build(full, str(tmp_path / "full"), input_desc="full")
-    assert merged.n_docs == ref.n_docs  # cross-boundary dup dropped once
+    assert merged.n_docs == ref.n_docs  # cross-boundary dups dropped once
     assert merged.meta["avgdl"] == ref.meta["avgdl"]
     assert merged.meta["vocab_size"] == ref.meta["vocab_size"]
     assert merged.meta["n_postings"] == ref.meta["n_postings"]

@@ -10,8 +10,10 @@ reference_cases.json) through the distributed engine and asserts:
 - full rank + score parity vs the vendored oracle under the SAME tokenizer
   (jieba when importable — the reference's segmenter — else the deterministic
   fallback; byte-identical tokens => identical BM25 scores either way),
-- exact-text dedup: the hardcase corpus contains a duplicate doc (rows 7/19)
-  the reference silently drops (literal_similarity.py:394,399).
+- within-batch duplicate handling: the hardcase corpus contains a duplicate
+  doc (rows 7/19) the reference KEEPS — a single add_corpus over an empty
+  model checks membership against the static pre-batch corpus, so both
+  copies are indexed and inflate N/df (literal_similarity.py:389-401).
 """
 
 import datetime
@@ -53,15 +55,6 @@ def _to_webtext(corpus):
     )
 
 
-def _dedup_keep_first(corpus):
-    seen, out = set(), []
-    for t in corpus:
-        if t not in seen:
-            seen.add(t)
-            out.append(t)
-    return out
-
-
 @pytest.fixture(scope="module")
 def fixtures():
     with open(FIXTURE, encoding="utf-8") as f:
@@ -73,16 +66,17 @@ def test_reference_case_parity(spark, tmp_path_factory, fixtures, case):
     cfg = _cfg()
     data = fixtures[case]
     corpus = data["corpus"]
-    kept = _dedup_keep_first(corpus)
     idx_dir = str(tmp_path_factory.mktemp(case))
     index = BM25IndexBuilder(spark, cfg).build(
         spark.createDataFrame(_to_webtext(corpus)), idx_dir, input_desc=case
     )
-    assert index.n_docs == len(kept)
+    assert index.n_docs == len(corpus)
     if case == "test_bm25_hardcase":
-        assert len(kept) == 19  # duplicate doc dropped, reference semantics
+        # rows 7 and 19 are exact-duplicate texts and BOTH stay indexed
+        assert len(corpus) == 20
+        assert corpus[7] == corpus[19]
 
-    oracle = BM25Oracle.from_texts(kept, stopwords=cfg.stopwords)
+    oracle = BM25Oracle.from_texts(corpus, stopwords=cfg.stopwords)
     engine = BM25QueryEngine(index)
     topn = data["topn"]
     hits = engine.search(list(data["queries"]), topn=topn).collect()
