@@ -36,6 +36,16 @@ class EngineConfig:
 
     # --- query execution ---
     score_mode: str = "wand"       # "wand" | "exact" (term-at-a-time, no pruning)
+    # Auto doc-range fan-out: when the largest per-query candidate volume
+    # (sum of df over the query's distinct terms, from term_stats) exceeds
+    # this many postings, search_df shards scoring by doc-id range so one
+    # head-term query never lands on a single applyInPandas task. None
+    # disables the heuristic (explicit fan_out= always wins). The default is
+    # sized so a task decodes at most ~2M postings (~tens of MB, well inside
+    # executor memory); at 10^12 docs a head-term query auto-shards
+    # ~500k-way rather than OOMing one task.
+    fan_out_threshold: Optional[int] = 2_000_000
+    fan_out_max: int = 1024        # cap on auto-chosen range shards per batch
     # BM25 variant: "okapi" (reference BM25Similarity default) | "bm25l" |
     # "bm25plus" (reference rank_bm25.py:116-161). One physical index serves
     # all variants (blocks store raw tf/dl/df; idf recomputed at decode).

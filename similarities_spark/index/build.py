@@ -388,6 +388,8 @@ class BM25IndexBuilder:
                 "salt_df_threshold": cfg.salt_df_threshold,
                 "num_salts": cfg.num_salts,
                 "score_mode": cfg.score_mode,
+                "fan_out_threshold": cfg.fan_out_threshold,
+                "fan_out_max": cfg.fan_out_max,
                 "variant": cfg.variant,
                 "delta": cfg.delta,
                 "checkpoint_dir": cfg.checkpoint_dir,

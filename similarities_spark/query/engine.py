@@ -5,22 +5,27 @@ Physical plan (per query batch):
   queries -> tokenize UDF (query mode: NO stopword filter, duplicates kept,
              reference literal_similarity.py:434)
     -> posexplode tokens                              (order-preserving)
-    -> DISTINCT (query_id, term)  [tiny]  --broadcast--+
-    blocks scan: partition-pruned to bucket IN (query-term buckets),
-                 row-group pruned by term via min/max stats  <--- joined here
-    -> cogroup(query tokens, matched blocks) BY query_id
+    -> DISTINCT (query_id, term) COLLECTED driver-side [O(queries x qlen),
+       tiny by contract] -> terms, buckets = pmod(xxhash64(term), B), and
+       per-term df/idf looked up from term_stats
+    blocks scan: filter bucket IN (query-term buckets)  -> parquet PARTITION
+                 pruning (bucket is the partition column), AND term IN
+                 (query terms) -> row-group min/max stats pruning (blocks
+                 are written sorted by term within each bucket)
+    -> cogroup(query tokens, matched blocks) BY query_id [, range_id]
        -> applyInPandas: block-max MaxScore kernel (scorer.py)
     -> per-query top-k already ranked; zero-score padding stage only for
        queries the scorer flagged (degenerate small-corpus semantics,
        reference literal_similarity.py:437-440)
     -> optional join docs for corpus text
 
-Only blocks whose term matches some query term are ever shuffled; the big
-index never moves otherwise. The scorer task for one query holds that query's
-candidate blocks; for single-query latency at extreme scale, search_df's
-``fan_out`` option shards scoring by doc-id range (the index's fixed global
-salt ranges) with a global top-k merge — bit-identical results, R-way
-parallel per query.
+Only index partitions/row-groups holding query terms are ever READ, and only
+matching blocks are shuffled; the big index never moves otherwise. The
+scorer task for one query holds that query's candidate blocks; for fat
+(head-term) queries, scoring auto-shards by doc-id range when the estimated
+candidate volume (sum of df over query terms) exceeds
+``cfg.fan_out_threshold`` — bit-identical results, R-way parallel per query
+(``fan_out=`` forces a specific R).
 """
 
 from __future__ import annotations
@@ -60,6 +65,7 @@ class BM25QueryEngine:
         self.index = index
         self.spark = index.spark
         self.cfg = index.config()
+        self.last_fan_out: Optional[int] = None
 
     def search(
         self,
@@ -88,21 +94,23 @@ class BM25QueryEngine:
         include_text: bool = False,
         fan_out: Optional[int] = None,
     ) -> DataFrame:
-        """``fan_out=R`` splits scoring into R doc-id range shards per query
-        (reusing the index's fixed global salt ranges): each (query, range)
-        task scores its shard fully (still bit-exact per doc — ranges
-        partition the doc space) and emits a local top-k; a global window
-        merges. This is the single-query-latency path at extreme scale —
-        one query's work spreads over R tasks instead of one. Okapi only
-        (BM25Plus pad baselines aren't range-decomposable); small batches
-        of fat queries want it, big batches of queries don't need it."""
+        """``fan_out=R`` splits scoring into R doc-id range shards per query:
+        each (query, range) task scores its shard fully (still bit-exact per
+        doc — ranges partition the doc space) and emits a local top-k; a
+        global window merges. This is the single-query-latency path at
+        extreme scale — one query's work spreads over R tasks instead of
+        one. When ``fan_out`` is None it auto-enables (Okapi/BM25L — their
+        unmatched-doc contribution is exactly 0, so scoring decomposes over
+        doc ranges; BM25Plus's per-token idf*delta baseline does not) once
+        the estimated candidate volume of the fattest query exceeds
+        ``cfg.fan_out_threshold`` postings."""
         cfg = self.cfg
         avgdl = self.index.avgdl
         n_docs = self.index.n_docs
         k1, b, k = cfg.k1, cfg.b, topn
         prune = cfg.score_mode == "wand"
         variant, delta = cfg.variant, cfg.resolved_delta()
-        if variant != "okapi":
+        if variant not in ("okapi", "bm25l"):
             fan_out = None
 
         tok_udf = make_tokenizer_udf("query")
@@ -111,13 +119,59 @@ class BM25QueryEngine:
             F.posexplode(tok_udf(F.col("text"))).alias("pos", "term"),
         )
 
-        # independent lineage for the blocks side (queries are tiny; avoids
-        # Spark's ambiguous-self-join trap between the two cogroup inputs)
-        qterms = queries_df.select(
-            F.col("query_id").cast("long").alias("query_id"),
-            F.explode(tok_udf(F.col("text"))).alias("term"),
-        ).distinct()
-        blocks = self.index.blocks().select(
+        # ---- driver-side query-term prep (the ONLY collect on this path;
+        # O(#queries x query_len) — queries are driver-adjacent by contract).
+        # Yields: the partition/row-group pruning predicates for the blocks
+        # scan, the broadcast df/idf stats (no vocab-table join in the
+        # plan), and the candidate-volume estimate for auto fan-out.
+        qt_rows = (
+            queries_df.select(
+                F.col("query_id").cast("long").alias("query_id"),
+                F.explode(tok_udf(F.col("text"))).alias("term"),
+            )
+            .distinct()
+            .collect()
+        )
+        qt_pairs = [(int(r["query_id"]), r["term"]) for r in qt_rows]
+        terms = sorted({t for _, t in qt_pairs})
+        if terms:
+            # bucket of each term via the SAME JVM xxhash64 the writer used
+            buckets = sorted(
+                {
+                    int(r["bucket"])
+                    for r in self.spark.createDataFrame(
+                        [(t,) for t in terms], "term string"
+                    )
+                    .select(
+                        F.pmod(
+                            F.xxhash64("term"), F.lit(cfg.num_term_buckets)
+                        )
+                        .cast("int")
+                        .alias("bucket")
+                    )
+                    .collect()
+                }
+            )
+            stat_map = {
+                r["term"]: (int(r["df"]), float(r["idf"]))
+                for r in self.index.term_stats()
+                .filter(F.col("term").isin(terms))
+                .collect()
+            }
+        else:
+            buckets, stat_map = [], {}
+
+        # partition pruning (bucket IN ...) + row-group stats pruning
+        # (term IN ...): only index files/row-groups holding query terms
+        # are read — the rest of the 100 TB index is never touched
+        blocks = self.index.blocks()
+        if buckets:
+            blocks = blocks.filter(F.col("bucket").isin(buckets)).filter(
+                F.col("term").isin(terms)
+            )
+        else:
+            blocks = blocks.filter(F.lit(False))
+        blocks = blocks.select(
             "term",
             "salt",
             "block_id",
@@ -130,14 +184,38 @@ class BM25QueryEngine:
             "dl_min",
             "payload",
         )
-        # blocks are stats-free (immutable segments); the per-term df/idf
-        # ride in on the tiny broadcast query side instead
-        qstats = qterms.join(
-            self.index.term_stats().select("term", "df", "idf"), "term", "left"
+        # blocks are stats-free (immutable segments); per-term df/idf ride
+        # in on the tiny broadcast query side, built driver-side from the
+        # stats lookup above (terms absent from the index carry no blocks,
+        # so they are skipped here — the inner join would drop them anyway)
+        known = [
+            (q, t, stat_map[t][0], stat_map[t][1])
+            for q, t in qt_pairs
+            if t in stat_map
+        ]
+        qstats = self.spark.createDataFrame(
+            known, "query_id long, term string, df long, idf double"
         )
-        # query-term side is tiny -> broadcast into the index scan; Catalyst
-        # pushes the bucket/term equality into the parquet scan
         qblocks = F.broadcast(qstats).join(blocks, "term", "inner")
+
+        if fan_out is None and cfg.fan_out_threshold:
+            # auto fan-out: candidate volume of the fattest query, estimated
+            # as sum(df) over its in-index terms (exact upper bound on the
+            # postings one scorer task would decode)
+            per_q: Dict[int, int] = {}
+            for q, t, df_, _ in known:
+                per_q[q] = per_q.get(q, 0) + df_
+            max_cand = max(per_q.values(), default=0)
+            if (
+                variant in ("okapi", "bm25l")
+                and max_cand > cfg.fan_out_threshold
+            ):
+                fan_out = min(
+                    cfg.fan_out_max,
+                    -(-max_cand // cfg.fan_out_threshold),
+                )
+        # observability (and test hook): the fan-out actually used
+        self.last_fan_out = fan_out
 
         if fan_out:
             per = max(1, (n_docs + fan_out - 1) // fan_out)
