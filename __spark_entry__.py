@@ -441,6 +441,48 @@ def q_mrr_eval(spark, sf_dir):
     return out.select(F.col("k").cast("long"), F.round("mrr", 9).alias("mrr_r"))
 
 
+EVAL_KS = [1, 3, 5, 10]
+
+
+def _graded_qrels(spark, sf_dir):
+    """Deterministic graded qrels: relevance = tf of the query's FIRST term
+    (docs with tf >= 2 only) — graded gains exercise real nDCG behavior."""
+    post = q_bm25_postings(spark, sf_dir)
+    first_terms = spark.createDataFrame(
+        [(i, q.split()[0]) for i, q in enumerate(BM25_QUERIES)],
+        "query_id long, term string",
+    )
+    return (
+        first_terms.join(post, "term")
+        .filter(F.col("tf") >= 2)
+        .select("query_id", "doc_id", F.col("tf").alias("relevance"))
+    )
+
+
+def q_ndcg_map_eval(spark, sf_dir):
+    """Native NDCG@k / MAP@k / P@k / Recall@k (reference evaluation.py:125-171
+    delegates to pytrec_eval; reimplemented as DataFrame aggregations with
+    trec_eval semantics) over the BM25 ranking + graded synthetic qrels."""
+    from similarities_spark import evaluation
+
+    hits = q_bm25_topk(spark, sf_dir).select("query_id", "rank", "doc_id")
+    qrels = _graded_qrels(spark, sf_dir)
+    ndcg = evaluation.ndcg_at_k(hits, qrels, ks=EVAL_KS)
+    mp = evaluation.map_at_k(hits, qrels, ks=EVAL_KS)
+    pr = evaluation.precision_at_k(hits, qrels, ks=EVAL_KS)
+    rc = evaluation.recall_at_k(hits, qrels, ks=EVAL_KS)
+    return (
+        ndcg.join(mp, "k").join(pr, "k").join(rc, "k")
+        .select(
+            F.col("k").cast("long"),
+            F.round("ndcg", 9).alias("ndcg_r"),
+            F.round("map", 9).alias("map_r"),
+            F.round("precision", 9).alias("p_r"),
+            F.round("recall", 9).alias("recall_r"),
+        )
+    )
+
+
 def q_event_window_counts(spark, sf_dir):
     """Tumbling-window aggregation over the events stream table — the same
     plan streaming/incremental.windowed_event_counts binds a watermark to
@@ -515,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "dedup_clusters": q_dedup_clusters,
         "mrr_eval": q_mrr_eval,
+        "ndcg_map_eval": q_ndcg_map_eval,
         "event_window_counts": q_event_window_counts,
     }
 
@@ -685,6 +728,84 @@ SELECT {TOPK}::BIGINT AS k,
        round(coalesce(sum(1.0 / first_rank), 0.0)
              / (SELECT count(DISTINCT query_id) FROM qrels), 9) AS mrr_r
 FROM firsts
+"""
+    )
+
+
+def _ndcg_map_eval_sql() -> str:
+    first_terms = ",".join(
+        f"({qi},'{q.split()[0]}')" for qi, q in enumerate(BM25_QUERIES)
+    )
+    ks = ",".join(f"({k})" for k in EVAL_KS)
+    return (
+        _bm25_hits_prefix()
+        + f""",
+ft(query_id, term) AS (VALUES {first_terms}),
+qrels AS (
+  SELECT ft.query_id, p.doc_id, p.tf AS rel
+  FROM ft JOIN post p USING (term) WHERE p.tf >= 2
+),
+nq AS (SELECT count(DISTINCT query_id)::DOUBLE AS n FROM qrels),
+ks(k) AS (VALUES {ks}),
+topk AS (SELECT query_id, doc_id, rank FROM hits WHERE rank <= {TOPK}),
+g AS (
+  SELECT t.query_id, t.rank, q.rel / log2(t.rank + 1) AS g
+  FROM topk t JOIN qrels q USING (query_id, doc_id)
+),
+ideal AS (
+  SELECT query_id, rel,
+         row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id)
+           AS irank
+  FROM qrels
+),
+dcg AS (
+  SELECT k, query_id, sum(g) AS dcg FROM ks, g WHERE rank <= k
+  GROUP BY k, query_id
+),
+idcg AS (
+  SELECT k, query_id, sum(rel / log2(irank + 1)) AS idcg FROM ks, ideal
+  WHERE irank <= k GROUP BY k, query_id
+),
+ndcg AS (
+  SELECT k, sum(coalesce(d.dcg, 0.0) / i.idcg) / (SELECT n FROM nq) AS ndcg
+  FROM idcg i LEFT JOIN dcg d USING (k, query_id) GROUP BY k
+),
+m AS (
+  SELECT t.query_id, t.rank,
+         row_number() OVER (PARTITION BY t.query_id ORDER BY t.rank) AS hit_no
+  FROM topk t JOIN qrels USING (query_id, doc_id)
+),
+nrel AS (SELECT query_id, count(*)::DOUBLE AS n_rel FROM qrels GROUP BY query_id),
+ap AS (
+  SELECT k, m.query_id, sum(m.hit_no::DOUBLE / m.rank) AS ap_num
+  FROM ks, m WHERE m.rank <= k GROUP BY k, m.query_id
+),
+mp AS (
+  SELECT k, sum(ap_num / n_rel) / (SELECT n FROM nq) AS map
+  FROM ap JOIN nrel USING (query_id) GROUP BY k
+),
+pr AS (
+  SELECT k, count(*)::DOUBLE / (k * (SELECT n FROM nq)) AS p
+  FROM ks, m WHERE m.rank <= k GROUP BY k
+),
+rc AS (
+  SELECT k, sum(n_hit / n_rel) / (SELECT n FROM nq) AS recall
+  FROM (
+    SELECT k, m.query_id, count(*)::DOUBLE AS n_hit
+    FROM ks, m WHERE m.rank <= k GROUP BY k, m.query_id
+  ) JOIN nrel USING (query_id)
+  GROUP BY k
+)
+SELECT ks.k::BIGINT AS k,
+       round(coalesce(ndcg.ndcg, 0.0), 9) AS ndcg_r,
+       round(coalesce(mp.map, 0.0), 9) AS map_r,
+       round(coalesce(pr.p, 0.0), 9) AS p_r,
+       round(coalesce(rc.recall, 0.0), 9) AS recall_r
+FROM ks
+LEFT JOIN ndcg USING (k)
+LEFT JOIN mp USING (k)
+LEFT JOIN pr USING (k)
+LEFT JOIN rc USING (k)
 """
     )
 
@@ -1043,6 +1164,7 @@ GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
     sqls["tfidf_topk"] = _tfidf_topk_sql()
     sqls["dedup_clusters"] = _dedup_clusters_sql()
     sqls["mrr_eval"] = _mrr_eval_sql()
+    sqls["ndcg_map_eval"] = _ndcg_map_eval_sql()
 
     # lsh_cosine_topk: intentionally no SQL oracle (approximate ANN; driver
     # records the rows-only check).

@@ -142,3 +142,47 @@ def test_qps_style_fixture(spark, tmp_path):
     )
     assert len(per_q) == 20
     assert all(r["n"] == 5 for r in per_q)
+
+
+def test_ndcg_map_precision_recall_hand_computed(spark):
+    """Hand-computed trec_eval semantics on a 2-query case with graded rels.
+
+    q0: qrels {d1: rel 3, d2: rel 1, d9: rel 2}; ranking d1, d3, d2, d4, d5.
+    q1: qrels {d7: rel 1};                       ranking d8, d7.
+    """
+    hits = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 3), (0, 3, 2), (0, 4, 4), (0, 5, 5),
+         (1, 1, 8), (1, 2, 7)],
+        "query_id long, rank long, doc_id long",
+    )
+    qrels = spark.createDataFrame(
+        [(0, 1, 3), (0, 2, 1), (0, 9, 2), (1, 7, 1)],
+        "query_id long, doc_id long, relevance long",
+    )
+    import math
+
+    log2 = lambda x: math.log2(x)
+    # --- nDCG@3: q0 DCG = 3/log2(2) + 1/log2(4); IDCG = 3/log2(2) +
+    # 2/log2(3) + 1/log2(4); q1 DCG = 1/log2(3); IDCG = 1/log2(2)
+    q0_dcg = 3 / log2(2) + 1 / log2(4)
+    q0_idcg = 3 / log2(2) + 2 / log2(3) + 1 / log2(4)
+    q1_dcg = 1 / log2(3)
+    ndcg3 = (q0_dcg / q0_idcg + q1_dcg / 1.0) / 2
+    got = {r["k"]: r["ndcg"] for r in evaluation.ndcg_at_k(hits, qrels, ks=[3, 5]).collect()}
+    assert got[3] == pytest.approx(ndcg3, rel=1e-12)
+    # nDCG@5 adds nothing for q0 (d4, d5 unjudged) or q1
+    q0_idcg5 = q0_idcg
+    ndcg5 = (q0_dcg / q0_idcg5 + q1_dcg) / 2
+    assert got[5] == pytest.approx(ndcg5, rel=1e-12)
+
+    # --- MAP@3: q0 hits at rank 1 (P=1) and rank 3 (P=2/3), R=3 ->
+    # AP = (1 + 2/3)/3; q1 hit at rank 2 (P=1/2), R=1 -> AP = 1/2
+    map3 = ((1 + 2 / 3) / 3 + 1 / 2) / 2
+    gotm = {r["k"]: r["map"] for r in evaluation.map_at_k(hits, qrels, ks=[3]).collect()}
+    assert gotm[3] == pytest.approx(map3, rel=1e-12)
+
+    # --- P@3: q0 2/3, q1 1/3 -> mean 1/2 ; Recall@3: q0 2/3, q1 1 -> 5/6
+    gotp = {r["k"]: r["precision"] for r in evaluation.precision_at_k(hits, qrels, ks=[3]).collect()}
+    assert gotp[3] == pytest.approx(0.5, rel=1e-12)
+    gotr = {r["k"]: r["recall"] for r in evaluation.recall_at_k(hits, qrels, ks=[3]).collect()}
+    assert gotr[3] == pytest.approx((2 / 3 + 1) / 2, rel=1e-12)
