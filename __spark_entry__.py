@@ -323,6 +323,31 @@ def q_token_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_vector_distances(spark, sf_dir):
+    """Vector distance family (reference utils/distance.py:56-104,175-195):
+    euclidean / manhattan / chebyshev / pearson per pair, plus z_score and
+    max_min_normalize exercised on the first element of the left vector —
+    all pure Catalyst higher-order-function expressions."""
+    e = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < 20)
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).select(
+        F.col("a.vec_id").cast("long").alias("id_a"),
+        F.col("b.vec_id").cast("long").alias("id_b"),
+        F.round(distances.euclidean(F.col("a.v"), F.col("b.v")), 6).alias("euclid"),
+        F.round(distances.manhattan(F.col("a.v"), F.col("b.v")), 6).alias("manhattan"),
+        F.round(distances.chebyshev(F.col("a.v"), F.col("b.v")), 6).alias("chebyshev"),
+        F.round(distances.pearson(F.col("a.v"), F.col("b.v")), 6).alias("pearson"),
+        F.round(distances.z_score(F.col("a.v"))[0], 6).alias("a_z0"),
+        F.round(distances.max_min_normalize(F.col("a.v"))[0], 6).alias("a_mm0"),
+    )
+
+
 def q_rrf_fusion(spark, sf_dir):
     post = q_bm25_postings(spark, sf_dir)
 
@@ -553,6 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "token_jaccard_pairs": q_token_jaccard_pairs,
         "rrf_fusion": q_rrf_fusion,
+        "vector_distances": q_vector_distances,
         "lsh_cosine_topk": q_lsh_cosine_topk,
         "tfidf_topk": q_tfidf_topk,
         "dedup_clusters": q_dedup_clusters,
@@ -1121,6 +1147,40 @@ SELECT a.doc_id::BIGINT AS id_a, b.doc_id::BIGINT AS id_b,
        round(len(list_intersect(a.toks, b.toks))
              / greatest(len(list_distinct(a.toks || b.toks)), 1), 6) AS jac
 FROM d a JOIN d b ON a.doc_id < b.doc_id
+"""
+
+    sqls["vector_distances"] = """
+WITH v AS (
+  SELECT vec_id, i, embedding[i]::DOUBLE AS x
+  FROM (SELECT vec_id, embedding,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings WHERE vec_id < 20)
+),
+stats AS (
+  SELECT vec_id, avg(x) AS m, stddev_pop(x) AS s,
+         min(x) AS mn, max(x) AS mx
+  FROM v GROUP BY vec_id
+),
+firsts AS (SELECT vec_id, x AS x0 FROM v WHERE i = 1),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(sqrt(sum((a.x - b.x) * (a.x - b.x))), 6) AS euclid,
+         round(sum(abs(a.x - b.x)), 6) AS manhattan,
+         round(max(abs(a.x - b.x)), 6) AS chebyshev,
+         round((count(*) * sum(a.x * b.x) - sum(a.x) * sum(b.x))
+               / (sqrt(count(*) * sum(a.x * a.x) - sum(a.x) * sum(a.x))
+                  * sqrt(count(*) * sum(b.x * b.x) - sum(b.x) * sum(b.x))), 6)
+           AS pearson
+  FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
+       euclid, manhattan, chebyshev, pearson,
+       round((f.x0 - st.m) / st.s, 6) AS a_z0,
+       round((f.x0 - st.mn) / (st.mx - st.mn + 1e-9), 6) AS a_mm0
+FROM pairs
+JOIN firsts f ON f.vec_id = id_a
+JOIN stats st ON st.vec_id = id_a
 """
 
     sqls["rrf_fusion"] = (

@@ -304,3 +304,57 @@ def test_w2v_shape_most_similar(spark):
         )
     ]
     assert ranked == again
+
+
+# ------------------------------------------------------- vector distances
+def test_vector_distance_family_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from similarities_spark.functions import distances as D
+
+    rng = np.random.RandomState(3)
+    v1 = rng.rand(8).tolist()
+    v2 = rng.rand(8).tolist()
+    df = spark.createDataFrame([(v1, v2)], "a array<double>, b array<double>")
+    row = df.select(
+        D.euclidean(F.col("a"), F.col("b")).alias("eu"),
+        D.euclidean(F.col("a"), F.col("b"), normalize=True).alias("eun"),
+        D.manhattan(F.col("a"), F.col("b")).alias("ma"),
+        D.chebyshev(F.col("a"), F.col("b")).alias("ch"),
+        D.minkowski(F.col("a"), F.col("b"), p=3.0).alias("mk3"),
+        D.pearson(F.col("a"), F.col("b")).alias("pe"),
+        D.vector_hamming(F.col("a"), F.col("b")).alias("hm"),
+        D.z_score(F.col("a")).alias("z"),
+        D.max_min_normalize(F.col("a")).alias("mm"),
+    ).collect()[0]
+    a, b = np.array(v1), np.array(v2)
+    assert row["eu"] == pytest.approx(np.sqrt(((a - b) ** 2).sum()), rel=1e-12)
+    assert row["eun"] == pytest.approx(1.0 / (1.0 + np.sqrt(((a - b) ** 2).sum())), rel=1e-12)
+    assert row["ma"] == pytest.approx(np.abs(a - b).sum(), rel=1e-12)
+    assert row["ch"] == pytest.approx(np.abs(a - b).max(), rel=1e-12)
+    assert row["mk3"] == pytest.approx((np.abs(a - b) ** 3).sum() ** (1 / 3), rel=1e-12)
+    assert row["pe"] == pytest.approx(np.corrcoef(a, b)[0][1], rel=1e-12)
+    assert row["hm"] == 8.0  # all elements differ
+    assert np.allclose(row["z"], (a - a.mean()) / a.std())
+    assert np.allclose(row["mm"], (a - a.min()) / (a.max() - a.min() + 1e-9))
+
+
+def test_seqmatch_stragglers(spark):
+    from pyspark.sql import functions as F
+
+    from similarities_spark.functions import seqmatch
+
+    df = spark.createDataFrame(
+        [("abcde", "xxbcdyy"), ("hello", "hello"), ("abc", "xyz")],
+        "a string, b string",
+    )
+    rows = df.select(
+        seqmatch.num_of_common_sub_str(F.col("a"), F.col("b")).alias("lcs"),
+        seqmatch.is_str_match(F.col("a"), F.col("b")).alias("exact"),
+        seqmatch.is_str_match(F.col("a"), F.col("b"), threshold=0.4).alias("fuzzy"),
+    ).collect()
+    assert [r["lcs"] for r in rows] == [3, 5, 0]  # bcd, hello, none
+    assert [r["exact"] for r in rows] == [False, True, False]
+    # edit sims: 1-4/7≈0.43 >= 0.4 True; 1.0 True; 1-3/3=0 False
+    assert [r["fuzzy"] for r in rows] == [True, True, False]
