@@ -535,6 +535,27 @@ def q_event_window_counts(spark, sf_dir):
     )
 
 
+def q_image_hashes(spark, sf_dir):
+    """Perceptual image hashes (reference utils/imagehash.py:159-238) over
+    deterministic binary payloads derived from documents.text. The DCT /
+    median math is not SQL-expressible, so the driver records the weaker
+    rows-only check; the hash math itself is pytest-oracled against an
+    independent reimplementation (tests/test_pipeline_ops.py)."""
+    from similarities_spark.functions import multimodal
+
+    d = (
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < 60)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
+    )
+    return multimodal.image_hashes(d).select(
+        F.col("media_id").cast("long"), "ahash", "dhash", "phash"
+    )
+
+
 def q_lsh_cosine_topk(spark, sf_dir):
     """Approximate ANN — deterministic but not SQL-expressible compactly;
     driver records the weaker rows-only check (documented)."""
@@ -542,7 +563,12 @@ def q_lsh_cosine_topk(spark, sf_dir):
     q = e.filter(F.col("vec_id").isin(COSINE_QIDS)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return ann.lsh_cosine_topk(e, q, k=COSINE_K, n_planes=8).select(
+    # dim passed explicitly (synth embeddings are 64-wide) so no driver-side
+    # .first() probe runs at scale; tests/test_pipeline_ops.py gates recall@5
+    # vs the exact cosine_topk baseline at these parameters
+    return ann.lsh_cosine_topk(
+        e, q, k=COSINE_K, n_planes=6, n_tables=8, dim=64
+    ).select(
         F.col("qid").cast("long"),
         F.col("rank").cast("long"),
         F.col("vec_id").cast("long"),
@@ -580,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "vector_distances": q_vector_distances,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "image_hashes": q_image_hashes,
         "tfidf_topk": q_tfidf_topk,
         "dedup_clusters": q_dedup_clusters,
         "mrr_eval": q_mrr_eval,
@@ -1228,4 +1255,7 @@ GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
 
     # lsh_cosine_topk: intentionally no SQL oracle (approximate ANN; driver
     # records the rows-only check).
+    # image_hashes: intentionally no SQL oracle (DCT/median not
+    # SQL-expressible; pytest-oracled against an independent numpy
+    # reimplementation instead).
     return sqls

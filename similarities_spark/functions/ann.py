@@ -115,7 +115,8 @@ def lsh_cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_tables: int = 8,
     dim: Optional[int] = None,
     seed: int = 7,
     id_col: str = "vec_id",
@@ -123,35 +124,64 @@ def lsh_cosine_topk(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
 ) -> DataFrame:
-    """Approximate top-k: candidates = vectors in the query's LSH bucket or
-    any 1-bit-flip neighbor bucket (multi-probe), exact cosine on those."""
+    """Approximate top-k via standard multi-table random-hyperplane LSH:
+    ``n_tables`` independent plane sets; candidates = union over tables of
+    vectors in the query's bucket or any 1-bit-flip neighbor (multi-probe),
+    exact-cosine rescored. Recall rises with n_tables (miss probability is
+    the PRODUCT of per-table misses); cost per table is one bucket join.
+    Tune n_planes up (fewer candidates/bucket) and n_tables up (recall) as
+    the corpus grows — candidate volume ~ N * n_tables * (n_planes+1) /
+    2^n_planes."""
     if dim is None:
+        # convenience fallback ONLY (reads one row on the driver) — callers
+        # at scale should pass dim explicitly; array columns don't carry
+        # their length in the schema
         dim = len(vectors.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 101 * t) for t in range(n_tables)
+    ]
     v = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-    ).withColumn("bucket", lsh_bucket_col(F.col("vec"), planes))
+    ).select(
+        "vec_id",
+        "vec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        lsh_bucket_col(F.col("vec"), tables[t]).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "vec", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     q = queries.select(
         F.col(qid_col).alias("qid"),
         F.col(qvec_col).cast("array<double>").alias("qvec"),
-    ).withColumn("qbucket", lsh_bucket_col(F.col("qvec"), planes))
-    # multi-probe: query bucket plus all 1-bit flips
-    probes = q.select(
-        "qid",
-        "qvec",
-        F.explode(
-            F.array(
-                F.col("qbucket"),
-                *[
-                    F.col("qbucket").bitwiseXOR(F.lit(int(2**i)).cast("long"))
-                    for i in range(n_planes)
-                ],
-            )
-        ).alias("bucket"),
     )
-    cand = v.join(F.broadcast(probes), "bucket").select(
-        "qid", "vec_id", cosine(F.col("vec"), F.col("qvec")).alias("cosine")
+    # multi-probe per table: query bucket plus all 1-bit flips
+    probe_structs = []
+    for t in range(n_tables):
+        qb = lsh_bucket_col(F.col("qvec"), tables[t])
+        for flip in [None] + list(range(n_planes)):
+            b = qb if flip is None else qb.bitwiseXOR(F.lit(int(2**flip)).cast("long"))
+            probe_structs.append(
+                F.struct(F.lit(t).alias("tbl"), b.alias("bucket"))
+            )
+    probes = q.select(
+        "qid", "qvec", F.explode(F.array(*probe_structs)).alias("tb")
+    ).select("qid", "qvec", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    cand = (
+        v.join(F.broadcast(probes), ["tbl", "bucket"])
+        .select(
+            "qid", "vec_id", cosine(F.col("vec"), F.col("qvec")).alias("cosine")
+        )
+        # a candidate found by several tables/probes is rescored once
+        .groupBy("qid", "vec_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

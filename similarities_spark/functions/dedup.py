@@ -18,9 +18,43 @@ DuckDB, Python) so oracles can replicate results bit-for-bit.
 
 from __future__ import annotations
 
+import logging
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from similarities_spark.functions.textops import tokens_col
+
+logger = logging.getLogger(__name__)
+
+
+def _cap_buckets(
+    rows: DataFrame,
+    key_cols: list,
+    max_bucket_size: Optional[int],
+    what: str,
+) -> DataFrame:
+    """Drop candidate buckets larger than ``max_bucket_size`` (a degenerate
+    bucket — boilerplate pages, all-zero chunks — goes quadratic in the
+    pair join). Dropped-bucket count is logged; results become approximate
+    ONLY for members of the dropped buckets, which at web scale are
+    boilerplate you usually want gone anyway. ``None`` disables the cap."""
+    if max_bucket_size is None:
+        return rows
+    sizes = rows.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bn"))
+    over = sizes.filter(F.col("_bn") > max_bucket_size)
+    n_over = over.count()  # one tiny agg job; the pair join it guards is huge
+    if n_over:
+        logger.warning(
+            "%s: dropping %d candidate bucket(s) larger than %d members "
+            "(degenerate-bucket cap; pairs within them are not emitted)",
+            what,
+            n_over,
+            max_bucket_size,
+        )
+    return rows.join(
+        over.select(*key_cols), key_cols, "left_anti"
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -159,6 +193,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: Optional[int] = 1000,
 ) -> DataFrame:
     """LSH banding over MinHash signatures: docs agreeing on ALL rows of any
     band become candidate pairs (est_jaccard = fraction of matching hashes).
@@ -194,6 +229,9 @@ def minhash_lsh_pairs(
     banded = sigs.select(
         "id", F.explode(F.array(*band_cols)).alias("bs")
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+    banded = _cap_buckets(
+        banded, ["band", "band_sig"], max_bucket_size, "minhash_lsh_pairs"
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -260,7 +298,9 @@ def simhash64(
 
 
 def simhash_hamming_pairs(
-    sim_df: DataFrame, max_hamming: int = 8
+    sim_df: DataFrame,
+    max_hamming: int = 8,
+    max_bucket_size: Optional[int] = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance <= max_hamming.
     Candidate generation: block on 4 x 16-bit chunks (a pair within hamming
@@ -284,6 +324,9 @@ def simhash_hamming_pairs(
             )
         ).alias("ch"),
     ).select("id", "simhash", F.col("ch.chunk").alias("chunk"), F.col("ch.val").alias("val"))
+    chunks = _cap_buckets(
+        chunks, ["chunk", "val"], max_bucket_size, "simhash_hamming_pairs"
+    )
     a = chunks.alias("a")
     b = chunks.alias("b")
     cand = (

@@ -358,3 +358,153 @@ def test_seqmatch_stragglers(spark):
     assert [r["exact"] for r in rows] == [False, True, False]
     # edit sims: 1-4/7≈0.43 >= 0.4 True; 1.0 True; 1-3/3=0 False
     assert [r["fuzzy"] for r in rows] == [True, True, False]
+
+
+# ------------------------------------------------------ perceptual hashes
+def _ref_gray(img):
+    """Independent grayscale (same ITU-R 601-2 weights, loop-style)."""
+    import numpy as np
+
+    h, w, _ = img.shape
+    out = np.zeros((h, w))
+    for i in range(h):
+        for j in range(w):
+            r, g, b = (float(img[i, j, 0]), float(img[i, j, 1]), float(img[i, j, 2]))
+            out[i, j] = r * 0.299 + g * 0.587 + b * 0.114
+    return out
+
+
+def _ref_resize(gray, oh, ow):
+    """Independent slice-mean resize (loop-style): target cell i covers
+    source rows [i*h//oh, max(+1, (i+1)*h//oh)) — rows first, then cols."""
+    import numpy as np
+
+    def axis1d(mat, out_n):
+        n = mat.shape[0]
+        rows = []
+        for i in range(out_n):
+            s = (i * n) // out_n
+            e = max(s + 1, ((i + 1) * n) // out_n)
+            rows.append(mat[s:e].mean(axis=0))
+        return np.array(rows)
+
+    return axis1d(axis1d(gray, oh).T, ow).T
+
+
+def _ref_dct2(p):
+    import numpy as np
+
+    h, w = p.shape
+    out = np.zeros((h, w))
+    tmp = np.zeros((h, w))
+    for k in range(h):  # dct along axis 0
+        for j in range(w):
+            tmp[k, j] = 2 * sum(
+                p[n, j] * np.cos(np.pi * (2 * n + 1) * k / (2 * h)) for n in range(h)
+            )
+    for i in range(h):  # then axis 1
+        for k in range(w):
+            out[i, k] = 2 * sum(
+                tmp[i, n] * np.cos(np.pi * (2 * n + 1) * k / (2 * w)) for n in range(w)
+            )
+    return out
+
+
+def test_image_hashes_match_independent_reimplementation():
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(37, 29, 3), dtype=np.uint8)
+
+    gray = _ref_resize(_ref_gray(img), 8, 8)
+    exp_a = gray > gray.mean()
+    assert (multimodal.ahash_bits(img) == exp_a).all()
+
+    gd = _ref_resize(_ref_gray(img), 8, 9)
+    exp_d = gd[:, 1:] > gd[:, :-1]
+    assert (multimodal.dhash_bits(img) == exp_d).all()
+
+    g32 = _ref_resize(_ref_gray(img), 32, 32)
+    low = _ref_dct2(g32)[:8, :8]
+    exp_p = low > np.median(low)
+    assert (multimodal.phash_bits(img) == exp_p).all()
+
+
+def test_image_hash_properties():
+    import numpy as np
+
+    # horizontal gradient: ahash = right half bright; dhash = all ones
+    img = np.tile(np.linspace(0, 255, 64, dtype=np.uint8)[None, :, None], (64, 1, 3))
+    a = multimodal.ahash_bits(img)
+    assert (~a[:, :4]).all() and a[:, 4:].all()
+    assert multimodal.dhash_bits(img).all()
+    # brightness shift leaves ahash/dhash unchanged (relative thresholds)
+    img2 = np.clip(img.astype(int) + 30, 0, 255).astype(np.uint8)
+    assert (multimodal.ahash_bits(img2) == a).all()
+    # bit packing: alternating bits -> known word
+    bits = np.array([[(i + j) % 2 == 0 for j in range(8)] for i in range(8)])
+    v = multimodal._bits_to_i64(bits)
+    assert v == int.from_bytes(bytes([0b10101010, 0b01010101] * 4), "big") - (1 << 64)
+
+
+def test_image_hashes_spark_operator(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, b"hello world"), (1, b"hello world"), (2, b"another payload x")],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in multimodal.image_hashes(df).collect()}
+    assert len(rows) == 3
+    # identical payloads -> identical hashes; different -> (very likely) not
+    assert rows[0]["phash"] == rows[1]["phash"]
+    assert rows[0]["ahash"] == rows[1]["ahash"]
+    assert rows[0]["phash"] != rows[2]["phash"]
+    for r in rows.values():
+        for c in ("ahash", "dhash", "phash"):
+            assert isinstance(r[c], int)
+
+
+# --------------------------------------------------- LSH quality + caps
+def test_lsh_cosine_recall_gate(spark):
+    """lsh_cosine_topk recall@5 vs the exact cosine_topk baseline >= 0.8 on
+    the synth embeddings (seeded, deterministic) — VERDICT r1 item 7."""
+    from similarities_spark.functions import ann
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact = ann.cosine_topk(e, q, k=5)
+    approx = ann.lsh_cosine_topk(e, q, k=5, n_planes=6, n_tables=8, dim=64)
+    ex = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.8, f"LSH recall@5 regressed: {recall:.2f}"
+
+
+def test_minhash_degenerate_bucket_cap(spark):
+    """A corpus of identical docs would go quadratic in the band buckets;
+    the cap drops those buckets and finishes with bounded pairs."""
+    rows = [(i, "same boilerplate page text here") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.minhash_lsh_pairs(
+        df, num_hashes=16, bands=4, max_bucket_size=10
+    )
+    assert capped.count() == 0  # every bucket degenerate -> dropped
+    uncapped = dedup.minhash_lsh_pairs(
+        df, num_hashes=16, bands=4, max_bucket_size=None
+    )
+    assert uncapped.count() == 40 * 39 // 2
+
+
+def test_simhash_degenerate_bucket_cap(spark):
+    rows = [(i, "the exact same text") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sims = dedup.simhash64(df)
+    capped = dedup.simhash_hamming_pairs(sims, max_hamming=8, max_bucket_size=5)
+    assert capped.count() == 0
+    uncapped = dedup.simhash_hamming_pairs(
+        sims, max_hamming=8, max_bucket_size=None
+    )
+    assert uncapped.count() == 30 * 29 // 2
