@@ -14,6 +14,8 @@ keeps rounds cheap and is exact.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -64,6 +66,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # a chain whose graph diameter exceeds max_iter would otherwise be
+        # silently split into several components — surface it so callers can
+        # raise max_iter (or move to large-star/small-star for O(log d) rounds)
+        warnings.warn(
+            f"connected_components exited after max_iter={max_iter} rounds "
+            f"with {changed} labels still changing; components may be split. "
+            "Raise max_iter for graphs with long chains.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     edges.unpersist()
     return labels.select("id", "comp")
 

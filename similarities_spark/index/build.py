@@ -42,6 +42,7 @@ import math
 import os
 import shutil
 import time
+import uuid
 from typing import Optional
 
 import numpy as np
@@ -92,12 +93,90 @@ _BLOCK_SCHEMA = StructType(
 )
 
 
+def _staging_root(index_dir: str) -> str:
+    return os.path.join(index_dir, "_staging")
+
+
+def _pending_increments(index_dir: str):
+    """Fully-staged increments (COMMIT.json present) awaiting roll-forward,
+    oldest first. Staging dirs WITHOUT a commit record are aborted merges —
+    their data never reached the live index and is safe to discard."""
+    root = _staging_root(index_dir)
+    if not os.path.isdir(root):
+        return []
+    return [
+        os.path.join(root, name)
+        for name in sorted(os.listdir(root))
+        if os.path.exists(os.path.join(root, name, "COMMIT.json"))
+    ]
+
+
+def _move_parquet_files(src_dir: str, dst_dir: str, prefix: str) -> None:
+    """Rename staged part files into a live dir, prefixed with the increment
+    id so names never collide. Idempotent: files already moved are skipped,
+    so a crashed commit can simply be re-applied."""
+    if not os.path.isdir(src_dir):
+        return
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in os.listdir(src_dir):
+        if not name.endswith(".parquet"):
+            continue  # _SUCCESS / .crc markers stay behind
+        dst = os.path.join(dst_dir, f"{prefix}-{name}")
+        if not os.path.exists(dst):
+            os.replace(os.path.join(src_dir, name), dst)
+
+
+def _apply_increment(index_dir: str, inc_dir: str) -> None:
+    """Roll a fully-staged increment forward into the live index.
+
+    Every step is an idempotent rename (re-apply after a crash at ANY point
+    resumes where it left off); meta.json is the last write, so an index
+    whose meta reflects the increment has all its data live. This is the
+    commit half of the write-ahead design: merge_new_docs stages everything
+    under _staging/<inc>/ and writes COMMIT.json only once the staged data is
+    complete, so roll-forward never needs the source batch again."""
+    inc_id = os.path.basename(inc_dir)
+    _move_parquet_files(
+        os.path.join(inc_dir, "docs"), os.path.join(index_dir, "docs"), inc_id
+    )
+    staged_blocks = os.path.join(inc_dir, "blocks")
+    if os.path.isdir(staged_blocks):
+        for part in os.listdir(staged_blocks):
+            if part.startswith("bucket="):
+                _move_parquet_files(
+                    os.path.join(staged_blocks, part),
+                    os.path.join(index_dir, "blocks", part),
+                    inc_id,
+                )
+    staged_stats = os.path.join(inc_dir, "term_stats")
+    live_stats = os.path.join(index_dir, "term_stats")
+    if os.path.isdir(staged_stats):
+        old = f"{live_stats}.old-{inc_id}"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(live_stats):
+            os.rename(live_stats, old)
+        os.rename(staged_stats, live_stats)
+        shutil.rmtree(old, ignore_errors=True)
+    meta_next = os.path.join(inc_dir, "meta_next.json")
+    if os.path.exists(meta_next):
+        tmp = os.path.join(index_dir, "meta.json.tmp")
+        shutil.copyfile(meta_next, tmp)
+        os.replace(tmp, os.path.join(index_dir, "meta.json"))
+    os.remove(os.path.join(inc_dir, "COMMIT.json"))
+    shutil.rmtree(inc_dir, ignore_errors=True)
+
+
 class BM25Index:
     """Handle to an on-disk index: meta.json + docs/term_stats/blocks parquet."""
 
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir
+        # roll forward any increment that committed (COMMIT.json written)
+        # but crashed before finishing its renames — opening an index always
+        # observes a consistent state
+        for inc in _pending_increments(index_dir):
+            _apply_increment(index_dir, inc)
         with open(os.path.join(index_dir, "meta.json"), "r", encoding="utf-8") as f:
             self.meta = json.load(f)
 
@@ -259,25 +338,50 @@ class BM25IndexBuilder:
             _last[0] = now
 
         os.makedirs(index_dir, exist_ok=True)
+        # a full (re)build supersedes any staged-but-uncommitted increment
+        shutil.rmtree(_staging_root(index_dir), ignore_errors=True)
         ckpt = cfg.checkpoint_dir or os.path.join(index_dir, "manifests")
+        if resume:
+            # stage/bucket manifests describe the ORIGINAL full build; once
+            # incremental merges have appended segments, the live dirs no
+            # longer match them — distrust everything and rebuild (docs and
+            # per-bucket writes are overwrite-mode, clearing merge segments)
+            meta_path = os.path.join(index_dir, "meta.json")
+            if os.path.exists(meta_path):
+                with open(meta_path, "r", encoding="utf-8") as f:
+                    if json.load(f).get("increments"):
+                        shutil.rmtree(ckpt, ignore_errors=True)
+                        resume = False
 
         docs_path = os.path.join(index_dir, "docs")
         stats_path = os.path.join(index_dir, "term_stats")
         blocks_path = os.path.join(index_dir, "blocks")
 
         # ---- stage 1: ingest -> docs(doc_id, url, text, doc_len) ----
+        # The docs manifest is trusted only when its format/input identity
+        # AND an input content fingerprint (row count — a count-star-pushdown
+        # scan, no shuffle) match the CURRENT input: different data at the
+        # same path must recompute, not silently serve the stale corpus.
         docs_manifest = os.path.join(ckpt, "stage-docs.json")
+        docs_key = f"v{FORMAT_VERSION}|{input_desc}"
+        docs_meta = None
         if resume and os.path.exists(docs_manifest):
+            with open(docs_manifest, "r", encoding="utf-8") as f:
+                docs_meta = json.load(f)
+            if docs_meta.get("docs_key") != docs_key or docs_meta.get(
+                "n_input_rows"
+            ) != webtext.count():
+                docs_meta = None  # stale: input changed under the checkpoint
+        if docs_meta is not None:
             # re-read loses the build-time partitioning: small parquet files
             # get packed to maxPartitionBytes and would throttle the tokenize
             # stage's parallelism, so spread explicitly (resume-only cost)
             docs = self.spark.read.parquet(docs_path).repartition(
                 self.spark.sparkContext.defaultParallelism * 2
             )
-            with open(docs_manifest, "r", encoding="utf-8") as f:
-                docs_meta = json.load(f)
         else:
             docs, docs_meta = self._build_docs(webtext, docs_path, input_desc)
+            docs_meta["docs_key"] = docs_key
             os.makedirs(ckpt, exist_ok=True)
             with open(docs_manifest, "w", encoding="utf-8") as f:
                 json.dump(docs_meta, f, sort_keys=True)
@@ -326,14 +430,21 @@ class BM25IndexBuilder:
         # ONE pass over postings (df, vocab, idf sum, total tokens, posting
         # count come from a single groupBy(term) + tiny agg)
         stats_manifest = os.path.join(ckpt, "stage-term_stats.json")
+        stats_meta = None
         if resume and os.path.exists(stats_manifest):
-            term_stats = self.spark.read.parquet(stats_path)
             with open(stats_manifest, "r", encoding="utf-8") as f:
                 stats_meta = json.load(f)
+            # same staleness rule as block buckets: trust only a manifest
+            # written for THIS lineage (format, input, N, scoring config)
+            if stats_meta.get("lineage_key") != lineage_key:
+                stats_meta = None
+        if stats_meta is not None:
+            term_stats = self.spark.read.parquet(stats_path)
         else:
             term_stats, stats_meta = self._build_term_stats(
                 postings, n_docs, stats_path
             )
+            stats_meta["lineage_key"] = lineage_key
             with open(stats_manifest, "w", encoding="utf-8") as f:
                 json.dump(stats_meta, f, sort_keys=True)
             term_stats = self.spark.read.parquet(stats_path)
@@ -400,7 +511,13 @@ class BM25IndexBuilder:
             json.dump(meta, f, indent=1, sort_keys=True)
         return BM25Index(self.spark, index_dir)
 
-    def merge_new_docs(self, new_webtext: DataFrame, index_dir: str) -> BM25Index:
+    def merge_new_docs(
+        self,
+        new_webtext: DataFrame,
+        index_dir: str,
+        _fail_before_commit: bool = False,
+        _fail_after_commit_record: bool = False,
+    ) -> BM25Index:
         """Incremental add_corpus: append new docs WITHOUT touching existing
         segments (they are stats-free and immutable — see FORMAT_VERSION
         note). The reference rebuilds its whole in-memory index per
@@ -414,12 +531,33 @@ class BM25IndexBuilder:
         duplicates WITHIN the new batch are kept (the reference's membership
         check runs against the static pre-batch corpus,
         literal_similarity.py:389-401).
+
+        ATOMICITY: all outputs (new docs rows, new block segments, refreshed
+        term_stats, next meta.json) are staged under _staging/<inc>/ and the
+        live index is only touched AFTER a COMMIT.json record is written.
+        A crash before the record leaves the live index byte-identical (a
+        retried merge redoes the batch from scratch); a crash after it is
+        rolled forward by the next open (BM25Index.__init__) via idempotent
+        renames. The live index is never part-merged. ``_fail_before_commit``
+        / ``_fail_after_commit_record`` are test hooks simulating those two
+        crash windows.
         """
         cfg = self.cfg
         t0 = time.time()
-        idx = BM25Index(self.spark, index_dir)
+        idx = BM25Index(self.spark, index_dir)  # rolls forward any pending inc
         old_n = idx.n_docs
         old_docs = idx.docs()
+
+        # discard aborted stagings (no commit record: their data never
+        # reached the live index) and carve out this merge's staging dir
+        staging = _staging_root(index_dir)
+        if os.path.isdir(staging):
+            for name in os.listdir(staging):
+                if not os.path.exists(os.path.join(staging, name, "COMMIT.json")):
+                    shutil.rmtree(os.path.join(staging, name), ignore_errors=True)
+        inc_id = f"inc{old_n}-{uuid.uuid4().hex[:8]}"
+        inc_dir = os.path.join(staging, inc_id)
+        os.makedirs(inc_dir, exist_ok=True)
 
         pages = extract_text(new_webtext).select("url", "warc_ts", "text")
         # left_anti never multiplies rows even when old texts are duplicated
@@ -439,10 +577,9 @@ class BM25IndexBuilder:
         if parent is not None:
             parent.unpersist()
         if m_new == 0:
+            shutil.rmtree(inc_dir, ignore_errors=True)
             return idx
-        new_docs.write.mode("append").parquet(
-            os.path.join(index_dir, "docs")
-        )
+        new_docs.write.mode("overwrite").parquet(os.path.join(inc_dir, "docs"))
 
         _, tok_fn = choose_corpus_tokenizer(cfg.stopwords, cfg.tokenizer)
         tokenized = new_docs.select(
@@ -498,7 +635,7 @@ class BM25IndexBuilder:
             .otherwise(F.col("idf_raw"))
             .alias("idf"),
         )
-        tmp_stats = os.path.join(index_dir, "term_stats_next")
+        tmp_stats = os.path.join(inc_dir, "term_stats")
         stats.write.mode("overwrite").parquet(tmp_stats)
         raw.unpersist()
 
@@ -528,16 +665,13 @@ class BM25IndexBuilder:
             "bucket",
             F.pmod(F.xxhash64("term"), F.lit(cfg.num_term_buckets)).cast("int"),
         )
-        blocks.write.mode("append").partitionBy("bucket").parquet(
-            os.path.join(index_dir, "blocks")
+        blocks.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(inc_dir, "blocks")
         )
         postings.unpersist()
         tokenized.unpersist()
 
-        # ---- swap stats, update meta (the commit marker)
-        final_stats = os.path.join(index_dir, "term_stats")
-        shutil.rmtree(final_stats, ignore_errors=True)
-        os.replace(tmp_stats, final_stats)
+        # ---- stage next meta, write the commit record, roll forward ----
         meta = dict(idx.meta)
         meta["n_docs"] = n_total
         meta["total_tokens"] = meta["total_tokens"] + new_tokens
@@ -547,13 +681,29 @@ class BM25IndexBuilder:
         meta["n_postings"] = int(g["np"] or 0)
         meta.setdefault("increments", []).append(
             {
+                "inc_id": inc_id,
                 "added_docs": int(m_new),
                 "added_tokens": new_tokens,
                 "wall_s": round(time.time() - t0, 2),
             }
         )
-        with open(os.path.join(index_dir, "meta.json"), "w", encoding="utf-8") as f:
+        with open(os.path.join(inc_dir, "meta_next.json"), "w", encoding="utf-8") as f:
             json.dump(meta, f, indent=1, sort_keys=True)
+        if _fail_before_commit:
+            raise RuntimeError("test hook: crash before commit record")
+        # atomic commit record: once this rename lands, the increment WILL be
+        # applied (here, or by the next BM25Index open if we crash)
+        commit_tmp = os.path.join(inc_dir, "COMMIT.json.tmp")
+        with open(commit_tmp, "w", encoding="utf-8") as f:
+            json.dump(
+                {"inc_id": inc_id, "added_docs": int(m_new), "n_docs": n_total},
+                f,
+                sort_keys=True,
+            )
+        os.replace(commit_tmp, os.path.join(inc_dir, "COMMIT.json"))
+        if _fail_after_commit_record:
+            raise RuntimeError("test hook: crash after commit record")
+        _apply_increment(index_dir, inc_dir)
         return BM25Index(self.spark, index_dir)
 
     # ---------- stages ----------

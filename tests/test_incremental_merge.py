@@ -81,3 +81,95 @@ def test_merge_all_duplicates_is_noop(spark, tmp_path):
     again = builder.merge_new_docs(spark.createDataFrame(pdf), d)
     assert again.n_docs == idx.n_docs
     assert again.meta["avgdl"] == idx.meta["avgdl"]
+
+
+def _hits(idx, queries=QUERIES, topn=10):
+    rows = BM25QueryEngine(idx).search(queries, topn=topn).collect()
+    return sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9)) for r in rows
+    )
+
+
+def test_merge_crash_before_commit_leaves_index_untouched_and_retryable(
+    spark, tmp_path
+):
+    """Crash window 1: everything staged, COMMIT.json not yet written.
+    The live index must be byte-identical (stale stats never visible, no
+    half-appended docs/blocks) and a RETRIED merge must fully apply the
+    batch — not silently no-op against its own partial append."""
+    from similarities_spark.index.build import BM25Index
+
+    pdf = synth_webtext_pandas(n_docs=120, seed=23, dup_fraction=0.05)
+    b1, b2 = pdf.iloc[:80], pdf.iloc[80:]
+    builder = BM25IndexBuilder(spark, CFG)
+    d = str(tmp_path / "crash1")
+    idx1 = builder.build(spark.createDataFrame(b1), d, input_desc="b1")
+    before = _hits(idx1)
+    meta_before = dict(idx1.meta)
+
+    with pytest.raises(RuntimeError, match="before commit record"):
+        builder.merge_new_docs(
+            spark.createDataFrame(b2), d, _fail_before_commit=True
+        )
+    # live index unchanged: same meta, same query results
+    reopened = BM25Index(spark, d)
+    assert reopened.n_docs == meta_before["n_docs"]
+    assert _hits(reopened) == before
+
+    # retry applies the full batch and equals a clean two-batch merge
+    merged = builder.merge_new_docs(spark.createDataFrame(b2), d)
+    ref_dir = str(tmp_path / "ref1")
+    ref1 = builder.build(spark.createDataFrame(b1), ref_dir, input_desc="b1")
+    ref = builder.merge_new_docs(spark.createDataFrame(b2), ref_dir)
+    assert merged.n_docs == ref.n_docs
+    assert merged.meta["avgdl"] == ref.meta["avgdl"]
+    assert _hits(merged) == _hits(ref)
+
+
+def test_merge_crash_after_commit_record_rolls_forward_on_open(spark, tmp_path):
+    """Crash window 2: COMMIT.json written, renames not performed. The next
+    open must roll the increment forward (idempotent renames) and observe
+    exactly the merged index."""
+    from similarities_spark.index.build import BM25Index
+
+    pdf = synth_webtext_pandas(n_docs=120, seed=29, dup_fraction=0.05)
+    b1, b2 = pdf.iloc[:80], pdf.iloc[80:]
+    builder = BM25IndexBuilder(spark, CFG)
+    d = str(tmp_path / "crash2")
+    builder.build(spark.createDataFrame(b1), d, input_desc="b1")
+
+    with pytest.raises(RuntimeError, match="after commit record"):
+        builder.merge_new_docs(
+            spark.createDataFrame(b2), d, _fail_after_commit_record=True
+        )
+    recovered = BM25Index(spark, d)  # __init__ rolls the increment forward
+
+    ref_dir = str(tmp_path / "ref2")
+    builder.build(spark.createDataFrame(b1), ref_dir, input_desc="b1")
+    ref = builder.merge_new_docs(spark.createDataFrame(b2), ref_dir)
+    assert recovered.n_docs == ref.n_docs
+    assert recovered.meta["avgdl"] == ref.meta["avgdl"]
+    assert recovered.meta["increments"][0]["added_docs"] == (
+        ref.meta["increments"][0]["added_docs"]
+    )
+    assert _hits(recovered) == _hits(ref)
+
+
+def test_resume_detects_changed_input_at_same_path(spark, tmp_path):
+    """ADVICE r1: resume used to trust stage manifests on existence alone —
+    different data at the same logical path must trigger a rebuild, not
+    silently serve the stale corpus."""
+    pdf_a = synth_webtext_pandas(n_docs=60, seed=31)
+    pdf_b = synth_webtext_pandas(n_docs=75, seed=37)
+    builder = BM25IndexBuilder(spark, CFG)
+    d = str(tmp_path / "stale")
+    builder.build(spark.createDataFrame(pdf_a), d, input_desc="same-path")
+    # same input_desc, different data -> docs fingerprint (row count) differs
+    idx = builder.build(
+        spark.createDataFrame(pdf_b), d, resume=True, input_desc="same-path"
+    )
+    assert idx.n_docs == len(pdf_b)
+    ref = builder.build(
+        spark.createDataFrame(pdf_b), str(tmp_path / "fresh"), input_desc="fresh"
+    )
+    assert _hits(idx) == _hits(ref)
