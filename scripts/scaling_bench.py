@@ -43,7 +43,7 @@ def gen_corpus(n_docs: int, path: str):
     spark.stop()
 
 
-def run(cpus: int, corpus: str, index_dir: str):
+def run(cpus: int, corpus: str, index_dir: str, postings_mode: str = "fused"):
     from pyspark.sql import SparkSession, functions as F
 
     from similarities_spark.config import EngineConfig
@@ -69,6 +69,7 @@ def run(cpus: int, corpus: str, index_dir: str):
         num_term_buckets=64,
         salt_df_threshold=20_000,
         num_salts=16,
+        postings_mode=postings_mode,
     )
     t0 = time.time()
     index = BM25IndexBuilder(spark, cfg).build(webtext, index_dir, input_desc=corpus)
@@ -108,6 +109,7 @@ def main():
     p.add_argument("--corpus", default=CORPUS_DEFAULT)
     p.add_argument("--cpus", type=int, default=32)
     p.add_argument("--index-dir", default=None)
+    p.add_argument("--postings-mode", default="fused", choices=["fused", "groupby"])
     args = p.parse_args()
     if args.gen:
         gen_corpus(args.n_docs, args.corpus)
@@ -116,7 +118,9 @@ def main():
     import shutil
 
     shutil.rmtree(index_dir, ignore_errors=True)
-    print(json.dumps(run(args.cpus, args.corpus, index_dir)))
+    out = run(args.cpus, args.corpus, index_dir, args.postings_mode)
+    out["postings_mode"] = args.postings_mode
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -57,6 +57,15 @@ class EngineConfig:
 
         return DELTAS[self.variant] if self.delta is None else self.delta
 
+    # --- postings construction ---
+    # 'fused': raw exploded tokens shuffle ONCE, straight into the block
+    # encoder, which counts doc_id duplicates as tf (np.unique) — the whole
+    # build has a single all-to-all exchange and term_stats derive from the
+    # tiny blocks table. 'groupby': legacy explode -> groupBy(term, doc_id)
+    # hash aggregate feeding a second encode exchange (kept for A/B scaling
+    # measurements; identical results).
+    postings_mode: str = "fused"
+
     # --- checkpointing ---
     checkpoint_dir: Optional[str] = None  # manifests + resumability; None = off
     checkpoint_groups: int = 4  # resume granularity: bucket groups per build

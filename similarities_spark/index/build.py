@@ -11,18 +11,23 @@ the tokenizer UDF and the Arrow block encoder):
        within-batch duplicate texts are kept and inflate N/df/avgdl exactly
        like the reference — literal_similarity.py:389-401. Cross-batch dedup
        happens in merge_new_docs.)
-    -> tokenize (Arrow pandas UDF, corpus mode)
-    -> postings: explode(tokens) -> groupBy(term, doc_id, dl)  [shuffle: term,doc]
-       (partial map-side agg via Catalyst; dl rides along, no doc join)
-    -> term_stats: groupBy(term).count -> idf (exact math.log) [shuffle: term]
-       + global average_idf + epsilon floor (rank_bm25.py:88-98 semantics)
-    -> head-term salting: broadcast tiny heavy-term list; salt = fixed global
+    -> tokenize (JVM regexp default / Arrow pandas UDF for jieba)
+    -> explode(tokens): raw (doc_id, doc_len, term) rows, duplicates KEPT
+    -> head-term salting: broadcast tiny heavy-term list (per-term token
+       counts, a vocab-sized partial-agg shuffle); salt = fixed global
        doc-id range -> per-term segments stay sorted runs, no merge stage
-    -> groupBy(term, salt).applyInPandas block encoder         [shuffle: term,salt]
-       (delta+varint blocks + per-block max/min tf-norm for block-max bounds)
-    -> join blocks x term_stats (block-level rows, ~postings/128)
+    -> groupBy(term, salt).applyInPandas block encoder    [THE build shuffle]
+       (np.unique counts doc_id duplicates = tf — the per-doc TF aggregate
+       costs no exchange of its own; delta+varint blocks + per-block
+       max/min/sum tf + dl extrema for block-max bounds)
+    -> term_stats from the blocks table: df = sum(n_postings), tokens =
+       sum(tf_sum), exact math.log idf + global average + epsilon floor
+       (rank_bm25.py:88-98 semantics)                     [vocab-sized agg]
     -> write parquet partitioned by bucket = xxhash64(term) % B,
        per-bucket checkpoint manifests (lineage + metrics) -> resumable
+
+  (postings_mode='groupby' keeps the legacy two-exchange plan — explode ->
+  groupBy(term, doc_id) hash agg -> stats -> encode — for A/B measurements.)
 
 Scale notes (the 1000-executor story):
 - The only driver-side values are scalars (N, total_tokens, average_idf) and
@@ -68,7 +73,7 @@ from similarities_spark.tokenize import choose_corpus_tokenizer
 
 # bump whenever the block payload layout or block-table schema changes —
 # it participates in the resume lineage key
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3  # v3: + tf_sum block column (term_stats derive from blocks)
 
 # Block metadata is deliberately STATS-FREE: no idf/df/avgdl-derived values.
 # tf/dl extrema give valid (slightly loose) contribution bounds at query
@@ -86,6 +91,7 @@ _BLOCK_SCHEMA = StructType(
         StructField("n_postings", IntegerType()),
         StructField("tf_max", LongType()),
         StructField("tf_min", LongType()),
+        StructField("tf_sum", LongType()),
         StructField("dl_max", LongType()),
         StructField("dl_min", LongType()),
         StructField("payload", BinaryType()),
@@ -258,15 +264,32 @@ def _make_block_encoder(cfg: EngineConfig):
     block_size = cfg.block_size
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id", kind="mergesort")
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        tfs = pdf["tf"].to_numpy(dtype=np.int64)
-        dls = pdf["doc_len"].to_numpy(dtype=np.int64)
         term = pdf["term"].iloc[0]
         salt = int(pdf["salt"].iloc[0])
+        if "tf" in pdf.columns:
+            # pre-aggregated postings (one row per distinct (term, doc))
+            pdf = pdf.sort_values("doc_id", kind="mergesort")
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            tfs = pdf["tf"].to_numpy(dtype=np.int64)
+            dls = pdf["doc_len"].to_numpy(dtype=np.int64)
+        else:
+            # FUSED mode: raw exploded token rows arrive straight off the
+            # one-and-only build shuffle; duplicates of a doc_id ARE the
+            # term frequency. np.unique on the sorted ids yields (doc, tf)
+            # vectorized — the per-doc TF aggregate costs no extra exchange.
+            ids_raw = pdf["doc_id"].to_numpy(dtype=np.int64)
+            dls_raw = pdf["doc_len"].to_numpy(dtype=np.int64)
+            order = np.argsort(ids_raw, kind="stable")
+            ids_sorted = ids_raw[order]
+            doc_ids, first, tfs = np.unique(
+                ids_sorted, return_index=True, return_counts=True
+            )
+            tfs = tfs.astype(np.int64)
+            dls = dls_raw[order][first]
         starts = np.arange(0, len(doc_ids), block_size, dtype=np.int64)
         tf_max = np.maximum.reduceat(tfs, starts)
         tf_min = np.minimum.reduceat(tfs, starts)
+        tf_sum = np.add.reduceat(tfs, starts)
         dl_max = np.maximum.reduceat(dls, starts)
         dl_min = np.minimum.reduceat(dls, starts)
         blocks = codec.encode_blocks_batch(doc_ids, tfs, dls, block_size)
@@ -280,6 +303,7 @@ def _make_block_encoder(cfg: EngineConfig):
                 hi - lo,
                 int(tf_max[bi]),
                 int(tf_min[bi]),
+                int(tf_sum[bi]),
                 int(dl_max[bi]),
                 int(dl_min[bi]),
                 payload,
@@ -401,75 +425,99 @@ class BM25IndexBuilder:
             f"|eps={cfg.epsilon}|buckets={cfg.num_term_buckets}"
         )
 
-        # SINGLE tokenization pass feeds doc_len, total_tokens, and postings
-        # (tokenization dominates build cost at webtext scale — never run it
-        # twice; deterministic retokenize from the docs table on resume).
-        # JVM regexp path by default (no Python workers in the scan — a
-        # Python UDF stage at local[cores] oversubscribes the box 2x and
-        # scales negatively); jieba flips this to the Arrow UDF.
-        # The tokenized DF is PERSISTED before fan-out: Catalyst collapses
-        # projections, so without the cache the tokenizer expression would be
-        # inlined into BOTH size(tokens) and explode(tokens) and run twice —
-        # measured 2x the whole stage cost at 1M docs.
-        _, tok_fn = choose_corpus_tokenizer(cfg.stopwords, cfg.tokenizer)
-        tokenized = docs.select(
-            "doc_id",
-            tok_fn(F.col("text")).alias("tokens"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        postings = (
-            tokenized.select(
-                "doc_id",
-                F.size("tokens").alias("doc_len"),
-                F.explode("tokens").alias("term"),
-            )
-            .groupBy("term", "doc_id", "doc_len")
-            .agg(F.count(F.lit(1)).alias("tf"))
-        )
-        postings = postings.persist(StorageLevel.MEMORY_AND_DISK)
-        # ---- stage 2: term_stats(term, df, idf) + all corpus scalars in
-        # ONE pass over postings (df, vocab, idf sum, total tokens, posting
-        # count come from a single groupBy(term) + tiny agg)
+        # stats manifest validation shared by both modes: trust only a
+        # manifest written for THIS lineage (format, input, N, config)
         stats_manifest = os.path.join(ckpt, "stage-term_stats.json")
         stats_meta = None
         if resume and os.path.exists(stats_manifest):
             with open(stats_manifest, "r", encoding="utf-8") as f:
                 stats_meta = json.load(f)
-            # same staleness rule as block buckets: trust only a manifest
-            # written for THIS lineage (format, input, N, scoring config)
             if stats_meta.get("lineage_key") != lineage_key:
                 stats_meta = None
-        if stats_meta is not None:
-            term_stats = self.spark.read.parquet(stats_path)
-        else:
-            term_stats, stats_meta = self._build_term_stats(
-                postings, n_docs, stats_path
+        done = completed_buckets(ckpt, lineage_key) if resume else []
+
+        if cfg.postings_mode == "groupby":
+            # legacy two-shuffle plan (A/B baseline): postings hash agg
+            # feeds term_stats, then a second exchange feeds the encoder
+            tokenized, postings = self._tokenized_postings(docs)
+            if stats_meta is not None:
+                term_stats = self.spark.read.parquet(stats_path)
+            else:
+                term_stats, stats_meta = self._build_term_stats(
+                    postings, n_docs, stats_path
+                )
+                stats_meta["lineage_key"] = lineage_key
+                with open(stats_manifest, "w", encoding="utf-8") as f:
+                    json.dump(stats_meta, f, sort_keys=True)
+                term_stats = self.spark.read.parquet(stats_path)
+            _mark("postings_and_stats")
+            docs.unpersist()
+            tokenized.unpersist()
+            heavy = term_stats.filter(
+                F.col("df") >= cfg.salt_df_threshold
+            ).select("term", F.lit(True).alias("_heavy"))
+            self._build_blocks(
+                postings,
+                heavy,
+                blocks_path,
+                ckpt,
+                lineage_key,
+                n_docs=n_docs,
+                done_buckets=set(done),
+                fail_after_groups=_fail_after_groups,
             )
-            stats_meta["lineage_key"] = lineage_key
-            with open(stats_manifest, "w", encoding="utf-8") as f:
-                json.dump(stats_meta, f, sort_keys=True)
-            term_stats = self.spark.read.parquet(stats_path)
-        _mark("postings_and_stats")
-        docs.unpersist()  # postings (persisted) now carries everything needed
-        tokenized.unpersist()
+            postings.unpersist()
+            _mark("blocks")
+        else:
+            # FUSED (default): ONE all-to-all exchange for the whole build.
+            # Raw exploded tokens shuffle straight into the block encoder
+            # (which counts doc_id duplicates as tf — see
+            # _make_block_encoder); term_stats then derive from the tiny
+            # blocks table (df = sum(n_postings), tokens = sum(tf_sum)).
+            # The legacy plan shuffled the distinct (term, doc) pairs TWICE
+            # (agg exchange + encode exchange) and built two vocab×docs hash
+            # tables; at webtext scale that exchange+agg traffic dominated
+            # the build and capped scaling efficiency.
+            tokenized, exploded = self._tokenized_exploded(docs)
+            # heavy terms for salting, from per-term token counts (a
+            # vocab-sized shuffle after partial agg). Token count >= df, so
+            # this salts a superset of the df-threshold terms — salting is
+            # physical layout only, results are identical.
+            heavy = (
+                exploded.groupBy("term")
+                .agg(F.count(F.lit(1)).alias("hits"))
+                .filter(F.col("hits") >= cfg.salt_df_threshold)
+                .select("term", F.lit(True).alias("_heavy"))
+            )
+            self._build_blocks(
+                exploded,
+                heavy,
+                blocks_path,
+                ckpt,
+                lineage_key,
+                n_docs=n_docs,
+                done_buckets=set(done),
+                fail_after_groups=_fail_after_groups,
+            )
+            docs.unpersist()
+            tokenized.unpersist()
+            _mark("blocks")
+            if stats_meta is not None:
+                term_stats = self.spark.read.parquet(stats_path)
+            else:
+                term_stats, stats_meta = self._stats_from_blocks(
+                    blocks_path, n_docs, stats_path
+                )
+                stats_meta["lineage_key"] = lineage_key
+                with open(stats_manifest, "w", encoding="utf-8") as f:
+                    json.dump(stats_meta, f, sort_keys=True)
+                term_stats = self.spark.read.parquet(stats_path)
+            _mark("stats")
+
         total_tokens = stats_meta["total_tokens"]
         docs_meta["total_tokens"] = total_tokens
         # exact reference arithmetic: python int/int division -> float64
         avgdl = total_tokens / n_docs
-
-        # ---- stage 3: salted block encoding, bucketed write, manifests ----
-        done = completed_buckets(ckpt, lineage_key) if resume else []
-        self._build_blocks(
-            postings,
-            term_stats,
-            blocks_path,
-            ckpt,
-            lineage_key,
-            n_docs=n_docs,
-            done_buckets=set(done),
-            fail_after_groups=_fail_after_groups,
-        )
-        postings.unpersist()
-        _mark("blocks")
 
         # ---- meta.json: overall commit marker ----
         meta = {
@@ -499,6 +547,7 @@ class BM25IndexBuilder:
                 "salt_df_threshold": cfg.salt_df_threshold,
                 "num_salts": cfg.num_salts,
                 "score_mode": cfg.score_mode,
+                "postings_mode": cfg.postings_mode,
                 "fan_out_threshold": cfg.fan_out_threshold,
                 "fan_out_max": cfg.fan_out_max,
                 "variant": cfg.variant,
@@ -581,25 +630,55 @@ class BM25IndexBuilder:
             return idx
         new_docs.write.mode("overwrite").parquet(os.path.join(inc_dir, "docs"))
 
-        _, tok_fn = choose_corpus_tokenizer(cfg.stopwords, cfg.tokenizer)
-        tokenized = new_docs.select(
-            "doc_id", tok_fn(F.col("text")).alias("tokens")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        postings = (
-            tokenized.select(
-                "doc_id",
-                F.size("tokens").alias("doc_len"),
-                F.explode("tokens").alias("term"),
-            )
-            .groupBy("term", "doc_id", "doc_len")
-            .agg(F.count(F.lit(1)).alias("tf"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        # ---- encode the batch's NEW segments into staging first (fused:
+        # one shuffle, the encoder aggregates tf). Salts beyond the old
+        # ranges: new doc ids all exceed old_n, so sorted-run and
+        # no-collision properties hold. Salting uses per-BATCH term counts
+        # (physical layout only — a term heavy in the old corpus but light
+        # in this batch just gets an unsalted small segment).
+        per_salt = idx.meta.get("salt_per_range") or cfg.salt_bounds(old_n)
+        if cfg.postings_mode == "groupby":
+            tokenized, rows = self._tokenized_postings(new_docs)
+        else:
+            tokenized, rows = self._tokenized_exploded(new_docs)
+        heavy = (
+            rows.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .filter(F.col("hits") >= cfg.salt_df_threshold)
+            .select("term", F.lit(True).alias("_heavy"))
         )
+        salted = (
+            rows.join(F.broadcast(heavy), "term", "left")
+            .withColumn(
+                "salt",
+                F.when(
+                    F.col("_heavy").isNotNull(),
+                    (F.col("doc_id") / F.lit(per_salt)).cast("int"),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_heavy")
+        )
+        encoder = _make_block_encoder(cfg)
+        blocks = salted.groupBy("term", "salt").applyInPandas(
+            encoder, _BLOCK_SCHEMA
+        ).withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(cfg.num_term_buckets)).cast("int"),
+        )
+        blocks.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(inc_dir, "blocks")
+        )
+        tokenized.unpersist()
 
-        # ---- stats refresh: combined df over old term_stats + new postings
-        df_new = postings.groupBy("term").agg(
-            F.count(F.lit(1)).alias("df_new"),
-            F.sum("tf").alias("tok_new"),
+        # ---- stats refresh: combined df over old term_stats + the NEW
+        # segments (column-pruned read of the tiny staged blocks table)
+        df_new = (
+            self.spark.read.parquet(os.path.join(inc_dir, "blocks"))
+            .groupBy("term")
+            .agg(
+                F.sum("n_postings").cast("long").alias("df_new"),
+                F.sum("tf_sum").cast("long").alias("tok_new"),
+            )
         )
         combined = (
             idx.term_stats()
@@ -638,38 +717,7 @@ class BM25IndexBuilder:
         tmp_stats = os.path.join(inc_dir, "term_stats")
         stats.write.mode("overwrite").parquet(tmp_stats)
         raw.unpersist()
-
-        # ---- append NEW segments (salts beyond the old ranges: new doc ids
-        # all exceed old_n, so sorted-run and no-collision properties hold)
-        per_salt = idx.meta.get("salt_per_range") or cfg.salt_bounds(old_n)
-        heavy = (
-            self.spark.read.parquet(tmp_stats)
-            .filter(F.col("df") >= cfg.salt_df_threshold)
-            .select("term", F.lit(True).alias("_heavy"))
-        )
-        salted = (
-            postings.join(F.broadcast(heavy), "term", "left")
-            .withColumn(
-                "salt",
-                F.when(
-                    F.col("_heavy").isNotNull(),
-                    (F.col("doc_id") / F.lit(per_salt)).cast("int"),
-                ).otherwise(F.lit(0)),
-            )
-            .drop("_heavy")
-        )
-        encoder = _make_block_encoder(cfg)
-        blocks = salted.groupBy("term", "salt").applyInPandas(
-            encoder, _BLOCK_SCHEMA
-        ).withColumn(
-            "bucket",
-            F.pmod(F.xxhash64("term"), F.lit(cfg.num_term_buckets)).cast("int"),
-        )
-        blocks.write.mode("overwrite").partitionBy("bucket").parquet(
-            os.path.join(inc_dir, "blocks")
-        )
-        postings.unpersist()
-        tokenized.unpersist()
+        rows.unpersist()  # no-op in fused mode (exploded is never persisted)
 
         # ---- stage next meta, write the commit record, roll forward ----
         meta = dict(idx.meta)
@@ -708,6 +756,56 @@ class BM25IndexBuilder:
 
     # ---------- stages ----------
 
+    def _tokenize_cached(self, docs: DataFrame) -> DataFrame:
+        """SINGLE tokenization pass (tokenization dominates build cost at
+        webtext scale — never run it twice; deterministic retokenize from
+        the docs table on resume).
+
+        JVM regexp path by default (no Python workers in the scan — a Python
+        UDF stage at local[cores] oversubscribes the box 2x and scales
+        negatively); jieba flips this to the Arrow UDF.
+
+        The tokenized DF is PERSISTED before fan-out: Catalyst collapses
+        projections, so without the cache the tokenizer expression would be
+        inlined into every consumer and run twice+ — measured 2x the whole
+        stage cost at 1M docs.
+        """
+        cfg = self.cfg
+        _, tok_fn = choose_corpus_tokenizer(cfg.stopwords, cfg.tokenizer)
+        return docs.select(
+            "doc_id", tok_fn(F.col("text")).alias("toks")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def _tokenized_exploded(self, docs: DataFrame):
+        """FUSED-mode input: raw (doc_id, doc_len, term) token rows —
+        duplicates kept (they ARE the term frequency; the block encoder
+        counts them after the one build shuffle). Pure whole-stage-codegen
+        projection over the tokenized cache."""
+        tokenized = self._tokenize_cached(docs)
+        exploded = tokenized.select(
+            "doc_id",
+            F.size("toks").alias("doc_len"),
+            F.explode("toks").alias("term"),
+        )
+        return tokenized, exploded
+
+    def _tokenized_postings(self, docs: DataFrame):
+        """Legacy (postings_mode='groupby') pre-aggregated postings: one row
+        per distinct (term, doc) via a two-phase hash aggregate — costs an
+        extra all-to-all exchange vs the fused path; kept for A/B scaling
+        measurements. Returns (tokenized, postings), both persisted."""
+        tokenized = self._tokenize_cached(docs)
+        postings = (
+            tokenized.select(
+                "doc_id",
+                F.size("toks").alias("doc_len"),
+                F.explode("toks").alias("term"),
+            )
+            .groupBy("term", "doc_id", "doc_len")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        return tokenized, postings.persist(StorageLevel.MEMORY_AND_DISK)
+
     def _build_docs(self, webtext: DataFrame, docs_path: str, input_desc: str):
         # NO dedup on the initial build: reference add_corpus keeps
         # within-batch duplicate texts (its membership check runs against the
@@ -739,13 +837,35 @@ class BM25IndexBuilder:
         return docs, meta
 
     def _build_term_stats(self, postings: DataFrame, n_docs: int, stats_path: str):
-        cfg = self.cfg
-        # single pass over the (persisted) postings: df AND per-term token
-        # totals; every corpus scalar then comes from the tiny vocab table
+        # legacy mode: single pass over the (persisted) postings gives df AND
+        # per-term token totals
         df_tbl = postings.groupBy("term").agg(
             F.count(F.lit(1)).alias("df"),
             F.sum("tf").alias("term_tokens"),
         )
+        return self._finish_term_stats(df_tbl, n_docs, stats_path)
+
+    def _stats_from_blocks(self, blocks_path: str, n_docs: int, stats_path: str):
+        """FUSED mode: term_stats derive from the blocks table (column-pruned
+        parquet read of term/n_postings/tf_sum — ~n_postings/block_size rows,
+        and the groupBy(term) shuffles only vocab-sized partials). df =
+        Σ n_postings (each posting is one distinct doc), tokens = Σ tf_sum —
+        both exact, identical to aggregating the postings directly."""
+        df_tbl = (
+            self.spark.read.parquet(blocks_path)
+            .groupBy("term")
+            .agg(
+                F.sum("n_postings").cast("long").alias("df"),
+                F.sum("tf_sum").cast("long").alias("term_tokens"),
+            )
+        )
+        return self._finish_term_stats(df_tbl, n_docs, stats_path)
+
+    def _finish_term_stats(self, df_tbl: DataFrame, n_docs: int, stats_path: str):
+        """Shared tail: exact BM25Okapi idf (math.log UDF), full-vocab
+        average, ε floor (rank_bm25.py:88-98 semantics), parquet write;
+        every corpus scalar comes from the tiny vocab table in one agg."""
+        cfg = self.cfg
         raw = df_tbl.withColumn(
             "idf_raw", _idf_raw_udf(F.col("df"), F.lit(n_docs).cast("long"))
         )
@@ -780,7 +900,7 @@ class BM25IndexBuilder:
     def _build_blocks(
         self,
         postings: DataFrame,
-        term_stats: DataFrame,
+        heavy: DataFrame,
         blocks_path: str,
         ckpt: str,
         lineage_key: str,
@@ -788,11 +908,11 @@ class BM25IndexBuilder:
         done_buckets: set,
         fail_after_groups: Optional[int] = None,
     ):
+        """``postings`` is either pre-aggregated (term, doc_id, doc_len, tf)
+        rows (legacy mode) or raw exploded token rows without tf (fused mode
+        — the encoder counts duplicates). ``heavy`` is the tiny salt list
+        (term, _heavy) — always broadcast."""
         cfg = self.cfg
-        # heavy-term list is tiny (df >= threshold) -> broadcast join
-        heavy = term_stats.filter(F.col("df") >= cfg.salt_df_threshold).select(
-            "term", F.lit(True).alias("_heavy")
-        )
         per_salt = cfg.salt_bounds(n_docs)
         salted = (
             postings.join(F.broadcast(heavy), "term", "left")
@@ -825,6 +945,11 @@ class BM25IndexBuilder:
             part_dir = os.path.join(blocks_path, f"bucket={b}")
             if os.path.isdir(part_dir):
                 shutil.rmtree(part_dir)
+        if not todo:
+            # fully-resumed blocks stage: every bucket manifest matches this
+            # lineage — never trigger the encode job (metrics included)
+            blocks.unpersist()
+            return
 
         # per-bucket metrics in ONE job (not one per group) — the group loop
         # below then only pays the write

@@ -103,20 +103,25 @@ def test_term_stats_match_oracle(built):
 
 
 def test_salting_applied_to_head_terms(built):
+    # fused build salts by per-term TOKEN count (>= df, so a superset of the
+    # df-threshold terms — salting is physical layout only); every term
+    # split across >1 salt range must be above the threshold in token count
     index, oracle, _ = built
     import pyspark.sql.functions as F
 
     salted = (
         index.blocks()
         .groupBy("term")
-        .agg(F.countDistinct("salt").alias("n_salts"))
-        .join(index.term_stats().select("term", "df"), "term")
+        .agg(
+            F.countDistinct("salt").alias("n_salts"),
+            F.sum("tf_sum").alias("term_tokens"),
+        )
         .filter(F.col("n_salts") > 1)
         .collect()
     )
     assert salted, "no term was salted — threshold not exercised"
     for r in salted:
-        assert r["df"] >= CFG.salt_df_threshold
+        assert r["term_tokens"] >= CFG.salt_df_threshold
 
 
 def test_topk_parity_top10(built):
