@@ -65,6 +65,15 @@ class EngineConfig:
     # hash aggregate feeding a second encode exchange (kept for A/B scaling
     # measurements; identical results).
     postings_mode: str = "fused"
+    # Heavy-term (salt-list) detection in fused mode. None = exact pass over
+    # the full corpus, which requires CACHING the tokenized corpus (written
+    # once, read twice — impossible at 100 TB and bandwidth-hostile
+    # everywhere). A fraction f in (0, 1) tokenizes only a deterministic
+    # f-sample to find heavy terms (cutoff scaled to 0.5*f*threshold for
+    # slack), so the full corpus streams tokenize -> explode -> shuffle
+    # EXACTLY ONCE with no token cache. Salting is physical layout only:
+    # a missed heavy term can skew one encoder task, never change results.
+    salt_sample_fraction: Optional[float] = None
 
     # --- checkpointing ---
     checkpoint_dir: Optional[str] = None  # manifests + resumability; None = off

@@ -52,7 +52,7 @@ from typing import Optional
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -95,6 +95,21 @@ _BLOCK_SCHEMA = StructType(
         StructField("dl_max", LongType()),
         StructField("dl_min", LongType()),
         StructField("payload", BinaryType()),
+    ]
+)
+
+# on-disk blocks layout = encoder schema + the bucket partition column
+_BLOCKS_READ_SCHEMA = StructType(
+    list(_BLOCK_SCHEMA.fields) + [StructField("bucket", IntegerType())]
+)
+
+# explicit read schemas everywhere: an all-stopword corpus produces empty
+# blocks/term_stats dirs, where schema inference would fail
+_STATS_READ_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("df", LongType()),
+        StructField("idf", DoubleType()),
     ]
 )
 
@@ -198,10 +213,14 @@ class BM25Index:
         return self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
 
     def term_stats(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "term_stats"))
+        return self.spark.read.schema(_STATS_READ_SCHEMA).parquet(
+            os.path.join(self.index_dir, "term_stats")
+        )
 
     def blocks(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "blocks"))
+        return self.spark.read.schema(_BLOCKS_READ_SCHEMA).parquet(
+            os.path.join(self.index_dir, "blocks")
+        )
 
     def config(self) -> EngineConfig:
         c = dict(self.meta["config"])
@@ -441,7 +460,7 @@ class BM25IndexBuilder:
             # feeds term_stats, then a second exchange feeds the encoder
             tokenized, postings = self._tokenized_postings(docs)
             if stats_meta is not None:
-                term_stats = self.spark.read.parquet(stats_path)
+                term_stats = self.spark.read.schema(_STATS_READ_SCHEMA).parquet(stats_path)
             else:
                 term_stats, stats_meta = self._build_term_stats(
                     postings, n_docs, stats_path
@@ -449,7 +468,7 @@ class BM25IndexBuilder:
                 stats_meta["lineage_key"] = lineage_key
                 with open(stats_manifest, "w", encoding="utf-8") as f:
                     json.dump(stats_meta, f, sort_keys=True)
-                term_stats = self.spark.read.parquet(stats_path)
+                term_stats = self.spark.read.schema(_STATS_READ_SCHEMA).parquet(stats_path)
             _mark("postings_and_stats")
             docs.unpersist()
             tokenized.unpersist()
@@ -478,17 +497,15 @@ class BM25IndexBuilder:
             # (agg exchange + encode exchange) and built two vocab×docs hash
             # tables; at webtext scale that exchange+agg traffic dominated
             # the build and capped scaling efficiency.
-            tokenized, exploded = self._tokenized_exploded(docs)
-            # heavy terms for salting, from per-term token counts (a
-            # vocab-sized shuffle after partial agg). Token count >= df, so
-            # this salts a superset of the df-threshold terms — salting is
-            # physical layout only, results are identical.
-            heavy = (
-                exploded.groupBy("term")
-                .agg(F.count(F.lit(1)).alias("hits"))
-                .filter(F.col("hits") >= cfg.salt_df_threshold)
-                .select("term", F.lit(True).alias("_heavy"))
-            )
+            # With salt_sample_fraction set, the token cache is skipped
+            # entirely: the corpus streams tokenize -> explode -> shuffle
+            # exactly once (the only way this works at 100 TB — you cannot
+            # cache the tokenized corpus) and the heavy list comes from a
+            # deterministic sample. With it unset, the cache serves both the
+            # exact heavy pass and the encode pass.
+            use_cache = cfg.salt_sample_fraction is None
+            tokenized, exploded = self._tokenized_exploded(docs, cache=use_cache)
+            heavy = self._heavy_terms(docs, exploded)
             self._build_blocks(
                 exploded,
                 heavy,
@@ -503,7 +520,7 @@ class BM25IndexBuilder:
             tokenized.unpersist()
             _mark("blocks")
             if stats_meta is not None:
-                term_stats = self.spark.read.parquet(stats_path)
+                term_stats = self.spark.read.schema(_STATS_READ_SCHEMA).parquet(stats_path)
             else:
                 term_stats, stats_meta = self._stats_from_blocks(
                     blocks_path, n_docs, stats_path
@@ -511,7 +528,7 @@ class BM25IndexBuilder:
                 stats_meta["lineage_key"] = lineage_key
                 with open(stats_manifest, "w", encoding="utf-8") as f:
                     json.dump(stats_meta, f, sort_keys=True)
-                term_stats = self.spark.read.parquet(stats_path)
+                term_stats = self.spark.read.schema(_STATS_READ_SCHEMA).parquet(stats_path)
             _mark("stats")
 
         total_tokens = stats_meta["total_tokens"]
@@ -548,6 +565,7 @@ class BM25IndexBuilder:
                 "num_salts": cfg.num_salts,
                 "score_mode": cfg.score_mode,
                 "postings_mode": cfg.postings_mode,
+                "salt_sample_fraction": cfg.salt_sample_fraction,
                 "fan_out_threshold": cfg.fan_out_threshold,
                 "fan_out_max": cfg.fan_out_max,
                 "variant": cfg.variant,
@@ -673,7 +691,10 @@ class BM25IndexBuilder:
         # ---- stats refresh: combined df over old term_stats + the NEW
         # segments (column-pruned read of the tiny staged blocks table)
         df_new = (
-            self.spark.read.parquet(os.path.join(inc_dir, "blocks"))
+            # explicit schema: a batch whose docs all tokenize to empty
+            # writes no block files, and schema inference would fail there
+            self.spark.read.schema(_BLOCKS_READ_SCHEMA)
+            .parquet(os.path.join(inc_dir, "blocks"))
             .groupBy("term")
             .agg(
                 F.sum("n_postings").cast("long").alias("df_new"),
@@ -776,18 +797,56 @@ class BM25IndexBuilder:
             "doc_id", tok_fn(F.col("text")).alias("toks")
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    def _tokenized_exploded(self, docs: DataFrame):
+    def _tokenized_exploded(self, docs: DataFrame, cache: bool = True):
         """FUSED-mode input: raw (doc_id, doc_len, term) token rows —
         duplicates kept (they ARE the term frequency; the block encoder
         counts them after the one build shuffle). Pure whole-stage-codegen
-        projection over the tokenized cache."""
-        tokenized = self._tokenize_cached(docs)
+        projection. ``cache=False`` skips the token cache (sampled heavy
+        detection makes the exact second pass unnecessary — the corpus then
+        streams through tokenize exactly once)."""
+        if cache:
+            tokenized = self._tokenize_cached(docs)
+        else:
+            cfg = self.cfg
+            _, tok_fn = choose_corpus_tokenizer(cfg.stopwords, cfg.tokenizer)
+            tokenized = docs.select(
+                "doc_id", tok_fn(F.col("text")).alias("toks")
+            )
         exploded = tokenized.select(
             "doc_id",
             F.size("toks").alias("doc_len"),
             F.explode("toks").alias("term"),
         )
         return tokenized, exploded
+
+    def _heavy_terms(self, docs: DataFrame, exploded: DataFrame) -> DataFrame:
+        """Salt list (term, _heavy) for head-term skew. Exact mode counts
+        tokens over the full exploded corpus (vocab-sized shuffle after
+        partial agg; needs the token cache to avoid a second tokenize).
+        Sampled mode tokenizes a deterministic f-fraction of docs and scales
+        the cutoff to 0.5*f*threshold (generous slack: a term at the
+        threshold has E[hits] = f*threshold, so missing it needs a <half-
+        expectation deviation). Salting is physical layout only — a missed
+        heavy term can skew one encoder task, never change any score."""
+        cfg = self.cfg
+        f = cfg.salt_sample_fraction
+        if f is None:
+            src = exploded
+            cutoff = cfg.salt_df_threshold
+        else:
+            _, tok_fn = choose_corpus_tokenizer(cfg.stopwords, cfg.tokenizer)
+            src = (
+                docs.sample(fraction=f, seed=8162026)
+                .select(tok_fn(F.col("text")).alias("toks"))
+                .select(F.explode("toks").alias("term"))
+            )
+            cutoff = max(1, int(0.5 * f * cfg.salt_df_threshold))
+        return (
+            src.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .filter(F.col("hits") >= cutoff)
+            .select("term", F.lit(True).alias("_heavy"))
+        )
 
     def _tokenized_postings(self, docs: DataFrame):
         """Legacy (postings_mode='groupby') pre-aggregated postings: one row
@@ -821,11 +880,16 @@ class BM25IndexBuilder:
         # keep the sort_parts-way partitioned DF alive for the tokenize
         # stage: re-reading the freshly written parquet would re-pack it
         # into ~size/maxPartitionBytes partitions and serialize tokenization
-        docs = with_ids.select("doc_id", "url", "text").persist(
-            StorageLevel.MEMORY_AND_DISK
+        obs = Observation(f"docs-{uuid.uuid4().hex[:8]}")
+        docs = (
+            with_ids.select("doc_id", "url", "text")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        # the write is the action that populates the cache AND the row-count
+        # observation — no separate count job over the corpus
         docs.write.mode("overwrite").parquet(docs_path)
-        n_docs = docs.count()
+        n_docs = int(obs.get["n"])
         parent = getattr(with_ids, "_cached_sort_parent", None)
         if parent is not None:
             parent.unpersist()
@@ -852,7 +916,10 @@ class BM25IndexBuilder:
         Σ n_postings (each posting is one distinct doc), tokens = Σ tf_sum —
         both exact, identical to aggregating the postings directly."""
         df_tbl = (
-            self.spark.read.parquet(blocks_path)
+            # explicit schema: a corpus whose docs all tokenize to empty
+            # writes no block files, and schema inference would fail there
+            self.spark.read.schema(_BLOCKS_READ_SCHEMA)
+            .parquet(blocks_path)
             .groupBy("term")
             .agg(
                 F.sum("n_postings").cast("long").alias("df"),

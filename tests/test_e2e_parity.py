@@ -235,3 +235,31 @@ def test_fanout_matches_single_task_path(built, spark):
     b_rows = sorted([(r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in base])
     f_rows = sorted([(r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in fan])
     assert b_rows == f_rows
+
+
+def test_sampled_salt_detection_identical_results(spark, tmp_path):
+    """salt_sample_fraction streams the corpus through tokenize exactly once
+    (no token cache) and picks the salt list from a sample — physical layout
+    may differ, every rank and score must not."""
+    import dataclasses
+
+    pdf = synth_webtext_pandas(n_docs=250, seed=41, dup_fraction=0.05)
+    docs = spark.createDataFrame(pdf)
+    cfg_sampled = dataclasses.replace(CFG, salt_sample_fraction=0.5)
+    idx_e = BM25IndexBuilder(spark, CFG).build(docs, str(tmp_path / "exact"))
+    idx_s = BM25IndexBuilder(spark, cfg_sampled).build(
+        docs, str(tmp_path / "sampled")
+    )
+    assert idx_e.meta["n_postings"] == idx_s.meta["n_postings"]
+    assert idx_e.meta["avgdl"] == idx_s.meta["avgdl"]
+    qs = ["data web w0003", "of and w0001 w0002", "zzz-none"]
+    h_e = BM25QueryEngine(idx_e).search(qs, topn=10).collect()
+    h_s = BM25QueryEngine(idx_s).search(qs, topn=10).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    for a, b in zip(sorted(h_e, key=key), sorted(h_s, key=key)):
+        assert (a["query_id"], a["rank"], a["doc_id"]) == (
+            b["query_id"],
+            b["rank"],
+            b["doc_id"],
+        )
+        assert a["score"] == pytest.approx(b["score"], rel=1e-12)

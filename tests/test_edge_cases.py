@@ -97,3 +97,35 @@ def test_very_long_doc_multiple_blocks(spark, tmp_path):
     assert [r["doc_id"] for r in got] == [d for d, _ in expect]
     for r, (_, es) in zip(got, expect):
         assert r["score"] == pytest.approx(es, rel=1e-12)
+
+
+def test_all_stopword_corpus_builds_and_pads(spark, tmp_path):
+    """Zero postings overall: no block files are written, stats must come up
+    empty (not crash on schema inference) and every query zero-score-pads."""
+    texts = ["the the", "the", "the the the"]
+    idx = BM25IndexBuilder(spark, CFG).build(_web(spark, texts), str(tmp_path / "asw"))
+    assert idx.n_docs == 3
+    assert idx.meta["vocab_size"] == 0
+    assert idx.meta["total_tokens"] == 0
+    hits = BM25QueryEngine(idx).search("anything", topn=2).collect()
+    rows = sorted(hits, key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in rows] == [0, 1]
+    assert all(r["score"] == 0.0 for r in rows)
+
+
+def test_merge_all_stopword_batch(spark, tmp_path):
+    """Incremental batch whose docs all tokenize to empty: stats unchanged
+    except N/avgdl, and the new docs participate as zero-length members."""
+    base = ["alpha beta gamma", "beta gamma delta"]
+    builder = BM25IndexBuilder(spark, CFG)
+    d = str(tmp_path / "mswb")
+    idx = builder.build(_web(spark, base), d, input_desc="base")
+    merged = builder.merge_new_docs(_web(spark, ["the the", "the"]), d)
+    assert merged.n_docs == 4
+    assert merged.meta["total_tokens"] == idx.meta["total_tokens"]
+    oracle = BM25Oracle.from_texts(base + ["the the", "the"], stopwords=CFG.stopwords)
+    assert merged.meta["avgdl"] == oracle.avgdl
+    hits = BM25QueryEngine(merged).search("beta", topn=10).collect()
+    expect = oracle.most_similar(["beta"], topn=10)
+    got = sorted(hits, key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in got] == [doc for doc, _ in expect]
