@@ -505,7 +505,12 @@ class BM25IndexBuilder:
             # exact heavy pass and the encode pass.
             use_cache = cfg.salt_sample_fraction is None
             tokenized, exploded = self._tokenized_exploded(docs, cache=use_cache)
-            heavy = self._heavy_terms(docs, exploded)
+            # the salt list is TINY (terms above threshold) — collect it and
+            # re-broadcast a literal so the sample/cache pass runs exactly
+            # once (a broadcast of the lazy plan would recompute it), and so
+            # the stage wall attributes it separately
+            heavy = self._collect_heavy(self._heavy_terms(docs, exploded))
+            _mark("salt_detect")
             self._build_blocks(
                 exploded,
                 heavy,
@@ -515,10 +520,11 @@ class BM25IndexBuilder:
                 n_docs=n_docs,
                 done_buckets=set(done),
                 fail_after_groups=_fail_after_groups,
+                mark=_mark,
             )
             docs.unpersist()
             tokenized.unpersist()
-            _mark("blocks")
+            _mark("blocks_write")
             if stats_meta is not None:
                 term_stats = self.spark.read.schema(_STATS_READ_SCHEMA).parquet(stats_path)
             else:
@@ -848,6 +854,16 @@ class BM25IndexBuilder:
             .select("term", F.lit(True).alias("_heavy"))
         )
 
+    def _collect_heavy(self, heavy: DataFrame) -> DataFrame:
+        """Materialize the salt list on the driver (thousands of rows even at
+        webtext scale — df >= threshold bounds its size at total_tokens /
+        threshold) and return it as a literal DF: the broadcast then ships a
+        LocalTableScan instead of re-running the detection plan."""
+        rows = [(r["term"], True) for r in heavy.collect()]
+        return self.spark.createDataFrame(
+            rows, "term string, _heavy boolean"
+        )
+
     def _tokenized_postings(self, docs: DataFrame):
         """Legacy (postings_mode='groupby') pre-aggregated postings: one row
         per distinct (term, doc) via a two-phase hash aggregate — costs an
@@ -974,11 +990,13 @@ class BM25IndexBuilder:
         n_docs: int,
         done_buckets: set,
         fail_after_groups: Optional[int] = None,
+        mark=None,
     ):
         """``postings`` is either pre-aggregated (term, doc_id, doc_len, tf)
         rows (legacy mode) or raw exploded token rows without tf (fused mode
         — the encoder counts duplicates). ``heavy`` is the tiny salt list
-        (term, _heavy) — always broadcast."""
+        (term, _heavy) — always broadcast. ``mark`` (optional) records the
+        encode-vs-write stage boundary in the build's stage walls."""
         cfg = self.cfg
         per_salt = cfg.salt_bounds(n_docs)
         salted = (
@@ -1031,6 +1049,8 @@ class BM25IndexBuilder:
             )
             .collect()
         }
+        if mark is not None:
+            mark("encode")  # tokenize+shuffle+encode+cache materialized here
 
         n_groups = max(1, cfg.checkpoint_groups)
         group_size = max(1, (len(all_buckets) + n_groups - 1) // n_groups)
