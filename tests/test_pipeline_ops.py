@@ -508,3 +508,24 @@ def test_simhash_degenerate_bucket_cap(spark):
         sims, max_hamming=8, max_bucket_size=None
     )
     assert uncapped.count() == 30 * 29 // 2
+
+
+def test_connected_components_warns_on_max_iter_exhaustion(spark):
+    """A chain longer than max_iter propagation rounds must WARN (silently
+    split components was the r1 failure mode), and with enough rounds the
+    same chain resolves to one component with no warning."""
+    import warnings
+
+    edges = [(i, i + 1) for i in range(12)]  # path graph, diameter 12
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        comps = graph.connected_components(pairs, max_iter=2).collect()
+        assert any("max_iter" in str(x.message) for x in w)
+    assert len({r["comp"] for r in comps}) > 1  # genuinely unconverged
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        comps = graph.connected_components(pairs, max_iter=20).collect()
+        assert not any("max_iter" in str(x.message) for x in w)
+    assert {r["comp"] for r in comps} == {0}
