@@ -85,3 +85,72 @@ def windowed_event_counts(
             F.col("n").cast("long"),
         )
     )
+
+
+def streaming_exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Cross-batch exact dedup on an ingest stream — the Spark-native
+    replacement for the reference's corpus-membership check
+    (literal_similarity.py:389-401) at streaming ingest: the state store
+    keeps one 16-byte md5 per distinct text and the watermark BOUNDS state
+    (a text seen again after the watermark expires is admitted — at 100 TB
+    unbounded seen-set state is not an option; pair with the batch
+    merge_new_docs anti-join for exactness beyond the watermark horizon).
+    On a batch DataFrame the same call degrades to a plain dropDuplicates.
+    """
+    out = df.withColumn("_h", F.md5(F.col(text_col)))
+    if out.isStreaming:
+        out = out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["_h"]
+        )
+    else:
+        out = out.dropDuplicates(["_h"])
+    return out.drop("_h")
+
+
+# running per-language corpus stats: custom stateful operator surface
+_LANG_STATS_OUT = "lang string, docs bigint, tokens bigint"
+_LANG_STATS_STATE = "docs bigint, tokens bigint"
+
+
+def running_language_stats(
+    stream: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+):
+    """applyInPandasWithState demo of the custom-stateful-operator shape:
+    per-language RUNNING totals (docs, tokens) across micro-batches. The
+    per-group state is two longs — language cardinality bounds total state.
+    Emits one updated row per language per batch (update mode)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from similarities_spark.functions.textops import token_count
+
+    def update(key, pdfs, state):
+        docs = 0
+        tokens = 0
+        for pdf in pdfs:
+            docs += len(pdf)
+            tokens += int(pdf["n_tokens"].sum())
+        d0, t0 = state.get if state.exists else (0, 0)
+        state.update((d0 + docs, t0 + tokens))
+        yield pd.DataFrame(
+            {"lang": [key[0]], "docs": [d0 + docs], "tokens": [t0 + tokens]}
+        )
+
+    src = stream.select(
+        F.col(lang_col).alias("lang"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    return src.groupBy("lang").applyInPandasWithState(
+        update,
+        _LANG_STATS_OUT,
+        _LANG_STATS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

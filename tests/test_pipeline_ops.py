@@ -566,3 +566,97 @@ def test_duplicate_passage_pairs(spark):
     # alignment-sensitive case documented above: pair may or may not appear
     # for (0, 1) depending on stride alignment — assert doc2 never pairs
     assert not any(2 in p for p in pairs)
+
+
+def test_streaming_exact_dedup_across_batches(spark, tmp_path):
+    """State-store dedup: a text seen in micro-batch 1 is dropped when it
+    reappears in micro-batch 2 (same checkpoint), within the watermark.
+    foreachBatch sink (memory sink cannot recover from a checkpoint)."""
+    import datetime as _dt
+
+    from similarities_spark.streaming.incremental import streaming_exact_dedup
+
+    base = _dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "url string, warc_ts timestamp, text string"
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    seen = []
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            streaming_exact_dedup(stream, watermark="2 hours")
+            .writeStream.foreachBatch(
+                lambda bdf, bid: seen.extend(
+                    (r["url"], r["text"]) for r in bdf.collect()
+                )
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [("u1", base, "alpha beta"), ("u2", base, "gamma delta"),
+          ("u3", base, "alpha beta")]  # in-batch dup
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    run_once()
+    assert sorted(t for _, t in seen) == ["alpha beta", "gamma delta"]
+
+    b2 = [("u4", base + _dt.timedelta(minutes=30), "alpha beta"),  # cross-batch dup
+          ("u5", base + _dt.timedelta(minutes=30), "epsilon zeta")]
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    run_once()
+    assert sorted(t for _, t in seen) == [
+        "alpha beta", "epsilon zeta", "gamma delta"
+    ]
+
+    # batch DataFrame: same call degrades to dropDuplicates
+    bdf = spark.createDataFrame(b1, schema)
+    assert streaming_exact_dedup(bdf).count() == 2
+
+
+def test_running_language_stats_state_accumulates(spark, tmp_path):
+    """applyInPandasWithState: per-language running totals survive across
+    restarts via the checkpointed state store."""
+    import datetime as _dt
+
+    from similarities_spark.streaming.incremental import running_language_stats
+
+    base = _dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "url string, warc_ts timestamp, text string, lang string"
+    src = str(tmp_path / "in2")
+    ckpt = str(tmp_path / "ckpt2")
+    latest = {}
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            running_language_stats(stream)
+            .writeStream.foreachBatch(
+                lambda bdf, bid: latest.update(
+                    {r["lang"]: (r["docs"], r["tokens"]) for r in bdf.collect()}
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [("a", base, "one two three", "en"), ("b", base, "eins zwei", "de"),
+         ("c", base, "four five", "en")],
+        schema,
+    ).write.mode("append").parquet(src)
+    run_once()
+    assert latest["en"] == (2, 5) and latest["de"] == (1, 2)
+
+    spark.createDataFrame(
+        [("d", base, "six seven eight nine", "en")], schema
+    ).write.mode("append").parquet(src)
+    run_once()
+    assert latest["en"] == (3, 9)   # state carried across the restart
+    assert latest["de"] == (1, 2)   # untouched language unchanged
