@@ -79,6 +79,37 @@ class EngineConfig:
     checkpoint_dir: Optional[str] = None  # manifests + resumability; None = off
     checkpoint_groups: int = 4  # resume granularity: bucket groups per build
 
+    def index_key(self) -> str:
+        """Stable digest of every config field that determines index CONTENT
+        or physical layout (blocks/stats bytes). Participates in the resume
+        lineage key: changing any of these (stopwords, tokenizer, block
+        size, bucketing, salting, postings mode) must invalidate stage and
+        bucket manifests — a resume that trusted an index built under a
+        different tokenizer config would serve wrong scores. Query-time-only
+        knobs (score_mode, fan_out_*, variant, delta, checkpoint_*) are
+        deliberately excluded: they never change what is on disk."""
+        import hashlib
+        import json as _json
+
+        payload = _json.dumps(
+            {
+                "k1": self.k1,
+                "b": self.b,
+                "epsilon": self.epsilon,
+                "stopwords": sorted(self.stopwords),
+                "lowercase_stopword_match": self.lowercase_stopword_match,
+                "tokenizer": self.tokenizer,
+                "block_size": self.block_size,
+                "num_term_buckets": self.num_term_buckets,
+                "salt_df_threshold": self.salt_df_threshold,
+                "num_salts": self.num_salts,
+                "postings_mode": self.postings_mode,
+                "salt_sample_fraction": self.salt_sample_fraction,
+            },
+            sort_keys=True,
+        )
+        return hashlib.md5(payload.encode("utf-8")).hexdigest()[:16]
+
     def salt_bounds(self, n_docs: int):
         """Doc-id range boundaries shared by ALL salted terms.
 

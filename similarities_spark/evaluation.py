@@ -16,10 +16,12 @@ Inputs:
 - hits : (query_id, rank, doc_id[, score]) — ranked retrieval output
 - qrels: (query_id, doc_id, relevance)     — graded relevance (>0 = relevant)
 
-All metrics return one row per k in ``ks`` with a double value — pure
-groupBy/join/window aggregations, no Python. The only collects are
-O(len(ks)) scalars.
-"""
+Every metric computes ALL cutoffs in ONE aggregation: the ks ride in as an
+exploded literal array (each hit row fans out to the cutoffs it satisfies),
+so one call = one Spark job regardless of len(ks) — no per-k driver loop.
+The query-count denominator joins in as a broadcast scalar subtree; the
+result stays a DataFrame (one row per k, schema "k int, <metric> double")
+and nothing is collected."""
 
 from __future__ import annotations
 
@@ -32,6 +34,37 @@ def _rel(qrels: DataFrame) -> DataFrame:
     return qrels.filter(F.col("relevance") > 0).select("query_id", "doc_id")
 
 
+def _ks_arr(ks: Sequence[int]):
+    return F.array(*[F.lit(int(k)) for k in ks])
+
+
+def _ks_frame(df: DataFrame, ks: Sequence[int]) -> DataFrame:
+    return df.sparkSession.createDataFrame(
+        [(int(k),) for k in ks], "k int"
+    )
+
+
+def _n_queries(qrels: DataFrame, positive_only: bool) -> DataFrame:
+    """Scalar (1-row) denominator subtree, cross-joined broadcast."""
+    src = _rel(qrels) if positive_only else qrels
+    return src.agg(F.countDistinct("query_id").alias("n_q"))
+
+
+def _finish(
+    per_k: DataFrame, ks_df: DataFrame, n_q: DataFrame, out_col: str
+) -> DataFrame:
+    """Left-join from the ks frame (every requested k gets a row even with
+    zero matches), divide by the broadcast query count, fix column order."""
+    return (
+        ks_df.join(per_k, "k", "left")
+        .crossJoin(F.broadcast(n_q))
+        .select(
+            "k",
+            (F.coalesce(F.col("s"), F.lit(0.0)) / F.col("n_q")).alias(out_col),
+        )
+    )
+
+
 def mrr_at_k(hits: DataFrame, qrels: DataFrame, ks: Sequence[int] = (10,)) -> DataFrame:
     rel = _rel(qrels)
     first = (
@@ -39,16 +72,18 @@ def mrr_at_k(hits: DataFrame, qrels: DataFrame, ks: Sequence[int] = (10,)) -> Da
         .groupBy("query_id")
         .agg(F.min("rank").alias("first_rank"))
     )
-    n_q = qrels.select("query_id").distinct().count()
-    rows = []
-    for k in ks:
-        rr = first.select(
+    per_k = (
+        first.select("first_rank", F.explode(_ks_arr(ks)).alias("k"))
+        .groupBy("k")
+        .agg(
             F.sum(
-                F.when(F.col("first_rank") <= k, 1.0 / F.col("first_rank")).otherwise(0.0)
+                F.when(
+                    F.col("first_rank") <= F.col("k"), 1.0 / F.col("first_rank")
+                ).otherwise(0.0)
             ).alias("s")
-        ).collect()[0]["s"]
-        rows.append((int(k), float(rr or 0.0) / n_q))
-    return hits.sparkSession.createDataFrame(rows, "k int, mrr double")
+        )
+    )
+    return _finish(per_k, _ks_frame(hits, ks), _n_queries(qrels, False), "mrr")
 
 
 def recall_cap_at_k(
@@ -56,40 +91,47 @@ def recall_cap_at_k(
 ) -> DataFrame:
     rel = _rel(qrels)
     n_rel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
-    joined = hits.join(rel, ["query_id", "doc_id"]).select("query_id", "rank")
-    n_q = qrels.select("query_id").distinct().count()
-    rows = []
-    for k in ks:
-        per_q = (
-            joined.filter(F.col("rank") <= k)
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_hit"))
-            .join(n_rel, "query_id", "right")
-            .select(
-                (
-                    F.coalesce(F.col("n_hit"), F.lit(0))
-                    / F.least(F.lit(k), F.col("n_rel"))
-                ).alias("r")
-            )
+    hit_counts = (
+        hits.join(rel, ["query_id", "doc_id"])
+        .select("query_id", F.explode(_ks_arr(ks)).alias("k"), "rank")
+        .filter(F.col("rank") <= F.col("k"))
+        .groupBy("query_id", "k")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    # right side = every (judged query, k): queries with zero hits at k
+    # still contribute a 0 term to the mean
+    q_ks = n_rel.select("query_id", "n_rel", F.explode(_ks_arr(ks)).alias("k"))
+    per_k = (
+        q_ks.join(hit_counts, ["query_id", "k"], "left")
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                / F.least(F.col("k"), F.col("n_rel"))
+            ).alias("s")
         )
-        s = per_q.agg(F.sum("r").alias("s")).collect()[0]["s"]
-        rows.append((int(k), float(s or 0.0) / n_q))
-    return hits.sparkSession.createDataFrame(rows, "k int, recall_cap double")
+    )
+    return _finish(
+        per_k, _ks_frame(hits, ks), _n_queries(qrels, False), "recall_cap"
+    )
 
 
 def accuracy_at_k(
     hits: DataFrame, qrels: DataFrame, ks: Sequence[int] = (10,)
 ) -> DataFrame:
     rel = _rel(qrels)
-    joined = hits.join(rel, ["query_id", "doc_id"]).select("query_id", "rank")
-    n_q = qrels.select("query_id").distinct().count()
-    rows = []
-    for k in ks:
-        n_hit = (
-            joined.filter(F.col("rank") <= k).select("query_id").distinct().count()
-        )
-        rows.append((int(k), n_hit / n_q))
-    return hits.sparkSession.createDataFrame(rows, "k int, accuracy double")
+    per_k = (
+        hits.join(rel, ["query_id", "doc_id"])
+        .select("query_id", F.explode(_ks_arr(ks)).alias("k"), "rank")
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "k")
+        .distinct()
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("double").alias("s"))
+    )
+    return _finish(
+        per_k, _ks_frame(hits, ks), _n_queries(qrels, False), "accuracy"
+    )
 
 
 def ndcg_at_k(
@@ -101,34 +143,41 @@ def ndcg_at_k(
     rel = qrels.filter(F.col("relevance") > 0).select(
         "query_id", "doc_id", F.col("relevance").cast("double").alias("rel")
     )
-    n_q = rel.select("query_id").distinct().count()
-    gained = hits.join(rel, ["query_id", "doc_id"]).select(
-        "query_id", "rank", (F.col("rel") / F.log2(F.col("rank") + 1)).alias("g")
+    dcg = (
+        hits.join(rel, ["query_id", "doc_id"])
+        .select(
+            "query_id",
+            F.explode(_ks_arr(ks)).alias("k"),
+            "rank",
+            (F.col("rel") / F.log2(F.col("rank") + 1)).alias("g"),
+        )
+        .filter(F.col("rank") <= F.col("k"))
+        .groupBy("query_id", "k")
+        .agg(F.sum("g").alias("dcg"))
     )
     iw = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
-    ideal = rel.withColumn("irank", F.row_number().over(iw)).select(
-        "query_id",
-        "irank",
-        (F.col("rel") / F.log2(F.col("irank") + 1)).alias("ig"),
+    idcg = (
+        rel.withColumn("irank", F.row_number().over(iw))
+        .select(
+            "query_id",
+            F.explode(_ks_arr(ks)).alias("k"),
+            "irank",
+            (F.col("rel") / F.log2(F.col("irank") + 1)).alias("ig"),
+        )
+        .filter(F.col("irank") <= F.col("k"))
+        .groupBy("query_id", "k")
+        .agg(F.sum("ig").alias("idcg"))
     )
-    rows = []
-    for k in ks:
-        dcg = gained.filter(F.col("rank") <= k).groupBy("query_id").agg(
-            F.sum("g").alias("dcg")
+    per_k = (
+        idcg.join(dcg, ["query_id", "k"], "left")
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")
+            ).alias("s")
         )
-        idcg = ideal.filter(F.col("irank") <= k).groupBy("query_id").agg(
-            F.sum("ig").alias("idcg")
-        )
-        s = (
-            idcg.join(dcg, "query_id", "left")
-            .select(
-                (F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")).alias("n")
-            )
-            .agg(F.sum("n").alias("s"))
-            .collect()[0]["s"]
-        )
-        rows.append((int(k), float(s or 0.0) / n_q))
-    return hits.sparkSession.createDataFrame(rows, "k int, ndcg double")
+    )
+    return _finish(per_k, _ks_frame(hits, ks), _n_queries(qrels, True), "ndcg")
 
 
 def map_at_k(
@@ -137,73 +186,70 @@ def map_at_k(
     """trec_eval map_cut: AP@k = sum over relevant hits at rank r<=k of
     (#relevant in top-r / r), divided by the FULL relevant count R (not
     min(R, k)); mean over queries with >=1 positive qrel."""
-    rel = qrels.filter(F.col("relevance") > 0).select("query_id", "doc_id")
-    n_q = rel.select("query_id").distinct().count()
+    rel = _rel(qrels)
     n_rel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
-    matched = hits.join(rel, ["query_id", "doc_id"]).select("query_id", "rank")
     w = Window.partitionBy("query_id").orderBy("rank")
-    prec = matched.withColumn(
-        "p", F.row_number().over(w) / F.col("rank")
+    prec = (
+        hits.join(rel, ["query_id", "doc_id"])
+        .select("query_id", "rank")
+        .withColumn("p", F.row_number().over(w) / F.col("rank"))
     )
-    rows = []
-    for k in ks:
-        s = (
-            prec.filter(F.col("rank") <= k)
-            .groupBy("query_id")
-            .agg(F.sum("p").alias("ap_num"))
-            .join(n_rel, "query_id")
-            .select((F.col("ap_num") / F.col("n_rel")).alias("ap"))
-            .agg(F.sum("ap").alias("s"))
-            .collect()[0]["s"]
-        )
-        rows.append((int(k), float(s or 0.0) / n_q))
-    return hits.sparkSession.createDataFrame(rows, "k int, map double")
+    per_k = (
+        prec.select("query_id", F.explode(_ks_arr(ks)).alias("k"), "rank", "p")
+        .filter(F.col("rank") <= F.col("k"))
+        .groupBy("query_id", "k")
+        .agg(F.sum("p").alias("ap_num"))
+        .join(n_rel, "query_id")
+        .groupBy("k")
+        .agg(F.sum(F.col("ap_num") / F.col("n_rel")).alias("s"))
+    )
+    return _finish(per_k, _ks_frame(hits, ks), _n_queries(qrels, True), "map")
 
 
 def precision_at_k(
     hits: DataFrame, qrels: DataFrame, ks: Sequence[int] = (10,)
 ) -> DataFrame:
     """trec_eval P@k: #relevant in top-k / k, mean over judged queries."""
-    rel = qrels.filter(F.col("relevance") > 0).select("query_id", "doc_id")
-    n_q = rel.select("query_id").distinct().count()
-    matched = hits.join(rel, ["query_id", "doc_id"]).select("query_id", "rank")
-    rows = []
-    for k in ks:
-        s = matched.filter(F.col("rank") <= k).count()
-        rows.append((int(k), float(s) / (k * n_q)))
-    return hits.sparkSession.createDataFrame(rows, "k int, precision double")
+    rel = _rel(qrels)
+    per_k = (
+        hits.join(rel, ["query_id", "doc_id"])
+        .select(F.explode(_ks_arr(ks)).alias("k"), "rank")
+        .filter(F.col("rank") <= F.col("k"))
+        .groupBy("k")
+        .agg((F.count(F.lit(1)) / F.col("k")).alias("s"))
+    )
+    return _finish(
+        per_k, _ks_frame(hits, ks), _n_queries(qrels, True), "precision"
+    )
 
 
 def recall_at_k(
     hits: DataFrame, qrels: DataFrame, ks: Sequence[int] = (10,)
 ) -> DataFrame:
     """trec_eval recall@k: #relevant in top-k / R, mean over judged queries."""
-    rel = qrels.filter(F.col("relevance") > 0).select("query_id", "doc_id")
-    n_q = rel.select("query_id").distinct().count()
+    rel = _rel(qrels)
     n_rel = rel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
-    matched = hits.join(rel, ["query_id", "doc_id"]).select("query_id", "rank")
-    rows = []
-    for k in ks:
-        s = (
-            matched.filter(F.col("rank") <= k)
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_hit"))
-            .join(n_rel, "query_id")
-            .select((F.col("n_hit") / F.col("n_rel")).alias("r"))
-            .agg(F.sum("r").alias("s"))
-            .collect()[0]["s"]
-        )
-        rows.append((int(k), float(s or 0.0) / n_q))
-    return hits.sparkSession.createDataFrame(rows, "k int, recall double")
+    per_k = (
+        hits.join(rel, ["query_id", "doc_id"])
+        .select("query_id", F.explode(_ks_arr(ks)).alias("k"), "rank")
+        .filter(F.col("rank") <= F.col("k"))
+        .groupBy("query_id", "k")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .join(n_rel, "query_id")
+        .groupBy("k")
+        .agg(F.sum(F.col("n_hit") / F.col("n_rel")).alias("s"))
+    )
+    return _finish(per_k, _ks_frame(hits, ks), _n_queries(qrels, True), "recall")
 
 
 def hole_at_k(hits: DataFrame, qrels: DataFrame, ks: Sequence[int] = (10,)) -> DataFrame:
     """Fraction of top-k results with NO annotation at all (unjudged)."""
     judged = qrels.select("query_id", "doc_id").distinct()
-    n_q = qrels.select("query_id").distinct().count()
-    rows = []
-    for k in ks:
-        topk = hits.filter(F.col("rank") <= k)
-        unjudged = topk.join(judged, ["query_id", "doc_id"], "left_anti").count()
-        rows.append((int(k), unjudged / (n_q * k)))
-    return hits.sparkSession.createDataFrame(rows, "k int, hole double")
+    per_k = (
+        hits.join(judged, ["query_id", "doc_id"], "left_anti")
+        .select(F.explode(_ks_arr(ks)).alias("k"), "rank")
+        .filter(F.col("rank") <= F.col("k"))
+        .groupBy("k")
+        .agg((F.count(F.lit(1)) / F.col("k")).alias("s"))
+    )
+    return _finish(per_k, _ks_frame(hits, ks), _n_queries(qrels, False), "hole")

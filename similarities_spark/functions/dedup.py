@@ -106,19 +106,29 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_shingle_docs: Optional[int] = 1000,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity for every pair sharing >=1 shingle.
 
     Plan: shingle inverted index self-join (equi-join on shingle — the
     shuffle key), count intersections per pair, then |A|+|B|-inter for the
     union. Never forms non-overlapping pairs, so the blow-up is bounded by
-    shingle co-occurrence, not n^2. Zipf-head shingles should be dropped at
-    scale (see minhash_lsh_pairs for the truly-huge path).
+    shingle co-occurrence, not n^2.
+
+    ``max_shingle_docs`` caps the self-join fan-out: a boilerplate shingle
+    shared by d docs contributes d^2/2 pairs (one shingle in 10^5 docs =
+    10^10 pairs), so shingles held by more docs than the cap are dropped
+    from CANDIDATE GENERATION (logged). Pair sizes |A|/|B| still count every
+    shingle, so scores stay exact for pairs whose shared shingles are all
+    under the cap; a pair sharing a dropped shingle either undercounts its
+    intersection or (if that was its only overlap) is not emitted. ``None``
+    disables the cap (see minhash_lsh_pairs for the truly-huge path).
     """
     sh = shingles_df(df, n=n, text_col=text_col, id_col=id_col).persist()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    bdf = sh.alias("b")
+    capped = _cap_buckets(sh, ["shingle"], max_shingle_docs, "ngram_jaccard_pairs")
+    a = capped.alias("a")
+    bdf = capped.alias("b")
     inter = (
         a.join(bdf, F.col("a.shingle") == F.col("b.shingle"))
         .where(F.col("a.id") < F.col("b.id"))

@@ -5,11 +5,16 @@ greedily clusters a dense cosine matrix in memory; the distributed version
 treats near-dup pairs (from MinHash/SimHash/cosine joins) as edges and finds
 connected components, then keeps one representative per component.
 
-Algorithm: iterative min-label propagation (each node adopts the smallest id
-in its neighborhood incl. itself) — converges in O(diameter) rounds; dedup
-graphs have tiny diameters. Each round is one shuffle (groupBy node).
-A production-scale variant would switch to large-star/small-star; this shape
-keeps rounds cheap and is exact.
+Two algorithms, identical output (component = min reachable node id):
+
+- 'propagation' (default): iterative min-label propagation — each node
+  adopts the smallest id in its neighborhood incl. itself. One shuffle per
+  round, converges in O(diameter) rounds; dedup graphs have tiny diameters.
+- 'star': alternating large-star/small-star (Kiveris et al., "Connected
+  Components in MapReduce and Beyond", SoCC 2014) — converges in O(log d)
+  rounds, the production choice when long chains are possible (a path graph
+  of length 10^6 needs 10^6 propagation rounds but ~20 star rounds). Each
+  round is two groupBy(min) shuffles over the shrinking edge set.
 """
 
 from __future__ import annotations
@@ -20,11 +25,17 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20, id_a: str = "id_a", id_b: str = "id_b"
+    pairs: DataFrame,
+    max_iter: int = 20,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """pairs: (id_a, id_b) undirected edges -> (id, component) where
-    component = min node id reachable. Nodes only in no pair are absent
+    component = min node id reachable. Nodes in no pair are absent
     (callers union isolated nodes as their own component)."""
+    if algorithm == "star":
+        return _star_components(pairs, max_iter=max_iter, id_a=id_a, id_b=id_b)
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
@@ -38,6 +49,7 @@ def connected_components(
         .withColumn("comp", F.least(F.col("comp"), F.col("id")))
         .persist()
     )
+    changed = -1  # sentinel: max_iter <= 0 skips the loop body entirely
     for _ in range(max_iter):
         # propagate: my new label = min(my label, labels of my neighbors)
         neigh = (
@@ -74,16 +86,107 @@ def connected_components(
     else:
         # a chain whose graph diameter exceeds max_iter would otherwise be
         # silently split into several components — surface it so callers can
-        # raise max_iter (or move to large-star/small-star for O(log d) rounds)
+        # raise max_iter or switch to algorithm='star' (O(log d) rounds)
         warnings.warn(
             f"connected_components exited after max_iter={max_iter} rounds "
-            f"with {changed} labels still changing; components may be split. "
-            "Raise max_iter for graphs with long chains.",
+            f"with {changed if changed >= 0 else 'unknown'} labels still "
+            "changing; components may be split. Raise max_iter or use "
+            "algorithm='star' for graphs with long chains.",
             RuntimeWarning,
             stacklevel=2,
         )
     edges.unpersist()
     return labels.select("id", "comp")
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical directed form: (u, v) with u > v, self-loops dropped."""
+    return (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star: every node u connects its STRICTLY LARGER neighbors to
+    m(u) = min(N(u) + {u}). Input/output: undirected edge set represented
+    symmetrically."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star: with edges directed high->low, every node u connects its
+    (all <= u) neighbors AND itself to m(u) = min(N(u))."""
+    e = _canon(edges)
+    mins = e.groupBy("u").agg(F.min("v").alias("m"))
+    neigh = e.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_edges = mins.select("u", F.col("m").alias("v"))
+    return (
+        neigh.unionByName(self_edges)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _star_components(
+    pairs: DataFrame, max_iter: int, id_a: str, id_b: str
+) -> DataFrame:
+    """Alternating large-star/small-star until the edge set is stable: at
+    convergence every non-root node holds exactly one edge to its component
+    minimum. max_iter here bounds ROUNDS (each O(log d) effective), so the
+    default of 20 covers diameters up to ~2^20."""
+    edges = _canon(
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    ).localCheckpoint(eager=True)
+    converged = False
+    for _ in range(max_iter):
+        # localCheckpoint per round: same lineage-truncation requirement as
+        # the propagation loop (plan nesting otherwise grows per round)
+        after = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        diff = (
+            after.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(after).limit(1).count()
+        )
+        edges = after
+        if diff == 0:
+            converged = True
+            break
+    if not converged:
+        warnings.warn(
+            f"star connected_components did not stabilize in {max_iter} "
+            "rounds; components may be split. Raise max_iter.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    # edges is now (node -> component min) for every non-root node; roots
+    # (the minima) label themselves
+    roots = (
+        edges.select(F.col("v").alias("id"))
+        .distinct()
+        .join(edges.select(F.col("u").alias("id")).distinct(), "id", "left_anti")
+        .select("id", F.col("id").alias("comp"))
+    )
+    return (
+        edges.select(F.col("u").alias("id"), F.col("v").alias("comp"))
+        .unionByName(roots)
+    )
 
 
 def dedup_keep_representatives(

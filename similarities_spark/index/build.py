@@ -118,6 +118,22 @@ def _staging_root(index_dir: str) -> str:
     return os.path.join(index_dir, "_staging")
 
 
+def _input_fingerprint(webtext: DataFrame) -> dict:
+    """Cheap content fingerprint of the input: row count + order-independent
+    bit_xor of xxhash64(url, warc_ts). Reads ONLY the two narrow identity
+    columns (the parquet scan prunes html/text), so validating a resume
+    costs ~1% of a full-corpus read even at 100 TB. (url, warc_ts) is the
+    WARC capture identity of a webtext row, so same-count row swaps,
+    additions+deletions, and reorders are all detected; an in-place text
+    edit at an identical (url, warc_ts) is outside the fingerprint — that
+    is the deliberate scale/safety trade-off vs hashing the text payload."""
+    row = webtext.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(url, warc_ts))").alias("fp"),
+    ).collect()[0]
+    return {"n_input_rows": int(row["n"]), "input_fp": int(row["fp"] or 0)}
+
+
 def _pending_increments(index_dir: str):
     """Fully-staged increments (COMMIT.json present) awaiting roll-forward,
     oldest first. Staging dirs WITHOUT a commit record are aborted merges —
@@ -402,18 +418,25 @@ class BM25IndexBuilder:
 
         # ---- stage 1: ingest -> docs(doc_id, url, text, doc_len) ----
         # The docs manifest is trusted only when its format/input identity
-        # AND an input content fingerprint (row count — a count-star-pushdown
-        # scan, no shuffle) match the CURRENT input: different data at the
-        # same path must recompute, not silently serve the stale corpus.
+        # AND an input content fingerprint (row count + order-independent
+        # xxhash64(url, warc_ts) xor — a two-narrow-column scan, no shuffle)
+        # match the CURRENT input: different data at the same path must
+        # recompute, not silently serve the stale corpus. Same-count content
+        # swaps are caught by the hash term (see _input_fingerprint).
         docs_manifest = os.path.join(ckpt, "stage-docs.json")
         docs_key = f"v{FORMAT_VERSION}|{input_desc}"
+        # computed on EVERY build (one cheap narrow-column agg job): the
+        # manifest must carry the fingerprint so a future resume can compare
+        input_fp = _input_fingerprint(webtext)
         docs_meta = None
         if resume and os.path.exists(docs_manifest):
             with open(docs_manifest, "r", encoding="utf-8") as f:
                 docs_meta = json.load(f)
-            if docs_meta.get("docs_key") != docs_key or docs_meta.get(
-                "n_input_rows"
-            ) != webtext.count():
+            if (
+                docs_meta.get("docs_key") != docs_key
+                or docs_meta.get("n_input_rows") != input_fp["n_input_rows"]
+                or docs_meta.get("input_fp") != input_fp["input_fp"]
+            ):
                 docs_meta = None  # stale: input changed under the checkpoint
         if docs_meta is not None:
             # re-read loses the build-time partitioning: small parquet files
@@ -425,6 +448,8 @@ class BM25IndexBuilder:
         else:
             docs, docs_meta = self._build_docs(webtext, docs_path, input_desc)
             docs_meta["docs_key"] = docs_key
+            docs_meta["input_fp"] = input_fp["input_fp"]
+            docs_meta["n_input_rows"] = input_fp["n_input_rows"]
             os.makedirs(ckpt, exist_ok=True)
             with open(docs_manifest, "w", encoding="utf-8") as f:
                 json.dump(docs_meta, f, sort_keys=True)
@@ -439,9 +464,14 @@ class BM25IndexBuilder:
                 "reference raises on empty corpora too, "
                 "literal_similarity.py:424-425)"
             )
+        # lineage key = format version + input identity (path, fingerprint,
+        # N) + a digest of EVERY config field that shapes block/stats bytes
+        # (stopwords, tokenizer, block_size, salting, postings_mode, ... —
+        # see EngineConfig.index_key): changing any of them invalidates all
+        # stage/bucket manifests instead of resuming onto a stale layout
         lineage_key = (
-            f"v{FORMAT_VERSION}|{input_desc}|{n_docs}|k1={cfg.k1}|b={cfg.b}"
-            f"|eps={cfg.epsilon}|buckets={cfg.num_term_buckets}"
+            f"v{FORMAT_VERSION}|{input_desc}|fp={input_fp['input_fp']}"
+            f"|{n_docs}|cfg={cfg.index_key()}"
         )
 
         # stats manifest validation shared by both modes: trust only a
@@ -509,7 +539,7 @@ class BM25IndexBuilder:
             # re-broadcast a literal so the sample/cache pass runs exactly
             # once (a broadcast of the lazy plan would recompute it), and so
             # the stage wall attributes it separately
-            heavy = self._collect_heavy(self._heavy_terms(docs, exploded))
+            heavy = self._collect_heavy(self._heavy_terms(docs, tokenized))
             _mark("salt_detect")
             self._build_blocks(
                 exploded,
@@ -628,7 +658,10 @@ class BM25IndexBuilder:
             for name in os.listdir(staging):
                 if not os.path.exists(os.path.join(staging, name, "COMMIT.json")):
                     shutil.rmtree(os.path.join(staging, name), ignore_errors=True)
-        inc_id = f"inc{old_n}-{uuid.uuid4().hex[:8]}"
+        # zero-padded old_n: _pending_increments sorts staging dir names
+        # lexicographically for oldest-first roll-forward, and "inc100-…"
+        # must not sort before "inc80-…" if several increments ever pend
+        inc_id = f"inc{old_n:015d}-{uuid.uuid4().hex[:8]}"
         inc_dir = os.path.join(staging, inc_id)
         os.makedirs(inc_dir, exist_ok=True)
 
@@ -663,10 +696,16 @@ class BM25IndexBuilder:
         per_salt = idx.meta.get("salt_per_range") or cfg.salt_bounds(old_n)
         if cfg.postings_mode == "groupby":
             tokenized, rows = self._tokenized_postings(new_docs)
+            heavy_src = rows.select("term")  # one row per (term, doc): df
         else:
             tokenized, rows = self._tokenized_exploded(new_docs)
+            # per-doc distinct BEFORE explode: count(1) per term = batch df,
+            # consistent with groupby mode (salt_df_threshold means df)
+            heavy_src = tokenized.select(
+                F.explode(F.array_distinct("toks")).alias("term")
+            )
         heavy = (
-            rows.groupBy("term")
+            heavy_src.groupBy("term")
             .agg(F.count(F.lit(1)).alias("hits"))
             .filter(F.col("hits") >= cfg.salt_df_threshold)
             .select("term", F.lit(True).alias("_heavy"))
@@ -825,26 +864,31 @@ class BM25IndexBuilder:
         )
         return tokenized, exploded
 
-    def _heavy_terms(self, docs: DataFrame, exploded: DataFrame) -> DataFrame:
-        """Salt list (term, _heavy) for head-term skew. Exact mode counts
-        tokens over the full exploded corpus (vocab-sized shuffle after
-        partial agg; needs the token cache to avoid a second tokenize).
-        Sampled mode tokenizes a deterministic f-fraction of docs and scales
-        the cutoff to 0.5*f*threshold (generous slack: a term at the
-        threshold has E[hits] = f*threshold, so missing it needs a <half-
-        expectation deviation). Salting is physical layout only — a missed
-        heavy term can skew one encoder task, never change any score."""
+    def _heavy_terms(self, docs: DataFrame, tokenized: DataFrame) -> DataFrame:
+        """Salt list (term, _heavy) for head-term skew, thresholded on
+        DOCUMENT frequency in every mode (salt_df_threshold means df — the
+        same semantics as groupby mode). The per-doc distinct pass is free of
+        any new exchange: array_distinct(toks) dedups within each row BEFORE
+        explode, so count(1) per term counts docs, and the shuffle stays the
+        vocab-sized partial agg. Exact mode reads the token cache (one row
+        per doc); sampled mode tokenizes a deterministic f-fraction of docs
+        and scales the cutoff to 0.5*f*threshold (generous slack: a term at
+        the threshold has E[sample df] = f*threshold, so missing it needs a
+        <half-expectation deviation). Salting is physical layout only — a
+        missed heavy term can skew one encoder task, never change a score."""
         cfg = self.cfg
         f = cfg.salt_sample_fraction
         if f is None:
-            src = exploded
+            src = tokenized.select(
+                F.explode(F.array_distinct("toks")).alias("term")
+            )
             cutoff = cfg.salt_df_threshold
         else:
             _, tok_fn = choose_corpus_tokenizer(cfg.stopwords, cfg.tokenizer)
             src = (
                 docs.sample(fraction=f, seed=8162026)
                 .select(tok_fn(F.col("text")).alias("toks"))
-                .select(F.explode("toks").alias("term"))
+                .select(F.explode(F.array_distinct("toks")).alias("term"))
             )
             cutoff = max(1, int(0.5 * f * cfg.salt_df_threshold))
         return (

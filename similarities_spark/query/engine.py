@@ -66,6 +66,17 @@ class BM25QueryEngine:
         self.spark = index.spark
         self.cfg = index.config()
         self.last_fan_out: Optional[int] = None
+        # the one cached DF per search (scored): kept alive while the caller
+        # materializes the returned hits, released on the NEXT search (or
+        # close()) — a long-lived session issuing thousands of batches must
+        # not accumulate block-manager entries until LRU churn
+        self._live_scored: Optional[DataFrame] = None
+
+    def close(self) -> None:
+        """Release the engine's cached intermediate (idempotent)."""
+        if self._live_scored is not None:
+            self._live_scored.unpersist()
+            self._live_scored = None
 
     def search(
         self,
@@ -285,7 +296,9 @@ class BM25QueryEngine:
 
         ONE driver collect decides the padding set: a left join of the query
         ids against a per-query scored summary (pad flag + match count)."""
+        self.close()  # release the previous search's cache before persisting
         scored = scored.persist()
+        self._live_scored = scored
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")
         )

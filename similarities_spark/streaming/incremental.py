@@ -101,15 +101,23 @@ def streaming_exact_dedup(
     unbounded seen-set state is not an option; pair with the batch
     merge_new_docs anti-join for exactness beyond the watermark horizon).
     On a batch DataFrame the same call degrades to a plain dropDuplicates.
+
+    Null-text rows PASS THROUGH un-deduplicated: md5(null) is null and both
+    dropDuplicates and dropDuplicatesWithinWatermark treat nulls as equal,
+    which would silently collapse every null-text row in the stream into
+    one survivor. A null text is not a duplicate of anything — downstream
+    ingest decides whether to reject it.
     """
-    out = df.withColumn("_h", F.md5(F.col(text_col)))
-    if out.isStreaming:
-        out = out.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-            ["_h"]
-        )
+    with_text = df.filter(F.col(text_col).isNotNull()).withColumn(
+        "_h", F.md5(F.col(text_col))
+    )
+    if with_text.isStreaming:
+        deduped = with_text.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(["_h"])
     else:
-        out = out.dropDuplicates(["_h"])
-    return out.drop("_h")
+        deduped = with_text.dropDuplicates(["_h"])
+    return deduped.drop("_h").unionByName(df.filter(F.col(text_col).isNull()))
 
 
 # running per-language corpus stats: custom stateful operator surface

@@ -1,0 +1,202 @@
+"""Round-3 hardening: star connected-components parity, shingle-cap bounds,
+resume lineage covering full config + input content, query-cache release,
+streaming null-text passthrough."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from similarities_spark.config import EngineConfig
+from similarities_spark.functions import dedup, graph
+from similarities_spark.index.build import BM25IndexBuilder
+from similarities_spark.query.engine import BM25QueryEngine
+from similarities_spark.sources.synth import synth_webtext_pandas
+
+
+# ---------- connected components: large-star/small-star ----------
+
+
+def _labels(df):
+    return sorted((int(r["id"]), int(r["comp"])) for r in df.collect())
+
+
+def test_star_equals_propagation_on_random_graphs(spark):
+    rng = random.Random(31)
+    for trial in range(4):
+        n = 40
+        edges = sorted(
+            {
+                (rng.randrange(n), rng.randrange(n))
+                for _ in range(rng.randrange(10, 60))
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        prop = graph.connected_components(pairs, algorithm="propagation")
+        star = graph.connected_components(pairs, algorithm="star")
+        assert _labels(prop) == _labels(star), f"trial {trial}"
+
+
+def test_star_converges_where_propagation_exhausts(spark):
+    # a 30-node path has diameter 29: propagation with max_iter=5 warns and
+    # splits; star (O(log d) rounds) converges well inside 5 rounds
+    chain = [(i, i + 1) for i in range(29)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.warns(RuntimeWarning, match="max_iter"):
+        prop = graph.connected_components(pairs, max_iter=5)
+    assert len({c for _, c in _labels(prop)}) > 1  # split, as warned
+    star = graph.connected_components(pairs, max_iter=5, algorithm="star")
+    got = _labels(star)
+    assert got == [(i, 0) for i in range(30)]
+
+
+def test_propagation_max_iter_zero_no_nameerror(spark):
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.warns(RuntimeWarning, match="max_iter"):
+        out = graph.connected_components(pairs, max_iter=0)
+    # unconverged-but-valid initial labels, not a NameError
+    assert {int(r["id"]) for r in out.collect()} == {1, 2}
+
+
+# ---------- ngram jaccard: head-shingle cap ----------
+
+
+def test_ngram_jaccard_caps_boilerplate_shingle(spark):
+    # every doc shares one boilerplate sentence (one shared shingle set);
+    # each doc also has a unique tail so docs are not exact dups
+    n = 12
+    boiler = "all rights reserved site"
+    rows = [(i, f"{boiler} unique{i} tail{i} content{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = dedup.ngram_jaccard_pairs(
+        df, n=3, threshold=0.01, max_shingle_docs=None
+    )
+    assert uncapped.count() == n * (n - 1) // 2  # the quadratic blow-up
+    capped = dedup.ngram_jaccard_pairs(
+        df, n=3, threshold=0.01, max_shingle_docs=5
+    )
+    # boilerplate shingles (shared by all 12 > cap 5) are dropped from
+    # candidate generation; unique tails share nothing -> no pairs at all
+    assert capped.count() == 0
+
+
+def test_ngram_jaccard_cap_keeps_uncapped_pairs_exact(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "alpha beta gamma delta zeta"),
+        (2, "totally different words here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, n=3, threshold=0.01, max_shingle_docs=None
+        ).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, n=3, threshold=0.01, max_shingle_docs=1000
+        ).collect()
+    }
+    assert exact == capped and (0, 1) in exact
+
+
+# ---------- resume lineage: config + content fingerprint ----------
+
+
+def _build(spark, df, path, cfg, **kw):
+    return BM25IndexBuilder(spark, cfg).build(df, str(path), input_desc="t", **kw)
+
+
+def test_resume_invalidates_on_config_change(spark, tmp_path):
+    df = spark.createDataFrame(synth_webtext_pandas(n_docs=60, seed=5))
+    cfg_a = EngineConfig(stopwords=frozenset({"the"}), num_term_buckets=4)
+    idx = _build(spark, df, tmp_path / "i", cfg_a)
+    stats_a = {r["term"]: r["idf"] for r in idx.term_stats().collect()}
+    assert "the" not in stats_a
+
+    # resume=True with different stopwords MUST rebuild, not trust manifests
+    cfg_b = EngineConfig(stopwords=frozenset(), num_term_buckets=4)
+    idx_b = _build(spark, df, tmp_path / "i", cfg_b, resume=True)
+    stats_b = {r["term"]: r["idf"] for r in idx_b.term_stats().collect()}
+    assert "the" in stats_b
+
+
+def test_resume_detects_same_count_content_change(spark, tmp_path):
+    pdf = synth_webtext_pandas(n_docs=40, seed=7)
+    cfg = EngineConfig(num_term_buckets=4)
+    df1 = spark.createDataFrame(pdf)
+    idx1 = _build(spark, df1, tmp_path / "i", cfg)
+    n1 = idx1.meta["total_tokens"]
+
+    # same row count, different content (urls shifted) at the same desc
+    pdf2 = synth_webtext_pandas(n_docs=40, seed=8)
+    df2 = spark.createDataFrame(pdf2)
+    idx2 = _build(spark, df2, tmp_path / "i", cfg, resume=True)
+    # a stale-resume would have kept the old docs/stats; the fingerprint
+    # forces a recompute, so the index reflects the NEW corpus
+    docs_urls = {r["url"] for r in idx2.docs().select("url").collect()}
+    assert docs_urls == set(pdf2["url"])
+    assert idx2.meta["total_tokens"] != n1 or docs_urls != set(pdf["url"])
+
+
+def test_config_index_key_stability():
+    a = EngineConfig(stopwords=frozenset({"x", "y"}))
+    b = EngineConfig(stopwords=frozenset({"y", "x"}))
+    assert a.index_key() == b.index_key()  # set order must not matter
+    c = EngineConfig(stopwords=frozenset({"x"}))
+    assert a.index_key() != c.index_key()
+    d = EngineConfig(block_size=64)
+    assert d.index_key() != EngineConfig().index_key()
+    # query-time-only knobs do NOT invalidate the on-disk index
+    e = EngineConfig(variant="bm25l", fan_out_threshold=None)
+    assert e.index_key() == EngineConfig().index_key()
+
+
+# ---------- query cache release ----------
+
+
+def test_search_does_not_accumulate_cached_rdds(spark, tmp_path):
+    df = spark.createDataFrame(synth_webtext_pandas(n_docs=80, seed=3))
+    cfg = EngineConfig(num_term_buckets=4)
+    idx = _build(spark, df, tmp_path / "i", cfg)
+    engine = BM25QueryEngine(idx)
+    jsc = spark.sparkContext._jsc.sc()
+
+    counts = []
+    for i in range(12):
+        engine.search([f"data web w{i % 7:04d}", "of the and"], topn=5).collect()
+        counts.append(jsc.getPersistentRDDs().size())
+    # steady state: each search releases the previous search's cache, so the
+    # persistent-RDD count must not grow monotonically across searches
+    assert counts[-1] <= counts[1]
+    engine.close()
+    assert jsc.getPersistentRDDs().size() <= counts[0]
+
+
+# ---------- streaming null-text passthrough ----------
+
+
+def test_streaming_exact_dedup_passes_null_text_through(spark):
+    from similarities_spark.streaming.incremental import streaming_exact_dedup
+
+    import datetime
+
+    ts = datetime.datetime(2026, 1, 1)
+    rows = [
+        ("u1", ts, None, "same", "en"),
+        ("u2", ts, None, "same", "en"),
+        ("u3", ts, None, None, "en"),
+        ("u4", ts, None, None, "en"),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = streaming_exact_dedup(df).collect()
+    texts = [r["text"] for r in out]
+    # duplicates collapse; BOTH null-text rows pass through untouched
+    assert texts.count("same") == 1 and texts.count(None) == 2
