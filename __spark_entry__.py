@@ -568,6 +568,80 @@ def q_image_hashes(spark, sf_dir):
     )
 
 
+IMAGE_HASH_DOCS = 60
+
+
+def _image_hash_fixture(sf_dir: str) -> str:
+    """Write (media_id, ahash, dhash, phash) reference parquet for
+    ``sf_dir`` computed DRIVER-SIDE with numpy only (no Spark): the same
+    payload derivation the Spark entry uses and the same hash kernels —
+    whose bit math is separately pytest-oracled against an independent
+    reimplementation (tests/test_pipeline_ops.py). This gives the
+    RELATIONAL hamming-pair stage a real external check: DuckDB joins these
+    hashes and must reproduce Spark's bit_count(xor) pair table exactly
+    (hash drift between the Spark kernel and this fixture would also
+    surface as a mismatch). Idempotent; called from both the Spark query
+    and oracle_sql() so driver execution order never matters."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from similarities_spark.functions import multimodal as mm
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"ss_imghash_{key}.parquet")
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pydict()
+    rows = sorted(
+        (int(i), s)
+        for i, s in zip(t["doc_id"], t["text"])
+        if int(i) < IMAGE_HASH_DOCS
+    )
+    out = {"media_id": [], "ahash": [], "dhash": [], "phash": []}
+    for doc_id, text in rows:
+        img = mm._fake_decode_image((text or "").encode("utf-8"))
+        out["media_id"].append(doc_id)
+        out["ahash"].append(mm._bits_to_i64(mm.ahash_bits(img)))
+        out["dhash"].append(mm._bits_to_i64(mm.dhash_bits(img)))
+        out["phash"].append(mm._bits_to_i64(mm.phash_bits(img)))
+    tmp = path + ".tmp"
+    pq.write_table(
+        pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()}), tmp
+    )
+    os.replace(tmp, path)
+    return path
+
+
+def q_image_hash_pairs(spark, sf_dir):
+    """Perceptual-hash near-dup pair stage: Spark computes the hashes
+    (mapInPandas over binary payloads) AND the all-pairs hamming table;
+    DuckDB reproduces the pair table from driver-side numpy reference
+    hashes (_image_hash_fixture), so the relational stage is fully oracled
+    and any Spark/numpy hash divergence also fails the match."""
+    from similarities_spark.functions import multimodal
+
+    _image_hash_fixture(sf_dir)  # make sure the oracle input exists
+    hashes = multimodal.image_hashes(
+        _docs(spark, sf_dir)
+        .filter(F.col("doc_id") < IMAGE_HASH_DOCS)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
+    )
+    return multimodal.image_hash_hamming_pairs(hashes).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("ham_a").cast("long"),
+        F.col("ham_d").cast("long"),
+        F.col("ham_p").cast("long"),
+    )
+
+
 def q_lsh_cosine_topk(spark, sf_dir):
     """Approximate ANN — deterministic but not SQL-expressible compactly;
     driver records the weaker rows-only check (documented)."""
@@ -619,7 +693,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "vector_distances": q_vector_distances,
         "lsh_cosine_topk": q_lsh_cosine_topk,
-        "image_hashes": q_image_hashes,
+        # image_hashes itself is superseded as a driver entry by
+        # image_hash_pairs (full DuckDB oracle over the relational stage);
+        # the hash math keeps its numpy-parity pytest
+        "image_hash_pairs": q_image_hash_pairs,
         "tfidf_topk": q_tfidf_topk,
         "dedup_clusters": q_dedup_clusters,
         "mrr_eval": q_mrr_eval,
@@ -1291,9 +1368,23 @@ GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
     sqls["mrr_eval"] = _mrr_eval_sql()
     sqls["ndcg_map_eval"] = _ndcg_map_eval_sql()
 
+    # image_hash_pairs: DuckDB joins the driver-side numpy reference hashes
+    # (written by _image_hash_fixture for the driver's oracle SF) and must
+    # reproduce Spark's bit_count(xor) pair table bit-for-bit
+    fixture = _image_hash_fixture("/root/testdata/sf0.01")
+    sqls["image_hash_pairs"] = f"""
+WITH h AS (SELECT * FROM read_parquet('{fixture}'))
+SELECT a.media_id::BIGINT AS id_a, b.media_id::BIGINT AS id_b,
+       bit_count(xor(a.ahash, b.ahash))::BIGINT AS ham_a,
+       bit_count(xor(a.dhash, b.dhash))::BIGINT AS ham_d,
+       bit_count(xor(a.phash, b.phash))::BIGINT AS ham_p
+FROM h a JOIN h b ON a.media_id < b.media_id
+"""
+
     # lsh_cosine_topk: intentionally no SQL oracle (approximate ANN; driver
     # records the rows-only check).
     # image_hashes: intentionally no SQL oracle (DCT/median not
-    # SQL-expressible; pytest-oracled against an independent numpy
-    # reimplementation instead).
+    # SQL-expressible; the hash MATH is pytest-oracled against an
+    # independent numpy reimplementation, and the relational stage over the
+    # hashes is fully oracled via image_hash_pairs above).
     return sqls

@@ -11,8 +11,17 @@ local[SPARK_GRAFT_CPUS]):
   cosine_topk       : brute-force cosine top-5 for 10 query vectors
   text_features     : language/quality/token features full scan
 
-Extra keys (informational): docs_per_sec (index build), queries_per_sec
-(bm25_batch), n_docs.
+`value` sums exactly these phases — comparable round over round.
+
+Informational keys (NOT in the total):
+  calib     : {pre, post} single-thread memcpy/cpu probes (scripts/calib.py)
+              — the same-window noise control. A suite regression with a
+              collapsed memcpy probe is the multi-tenant box, not the engine.
+  ab        : same-process interleaved fused-vs-groupby index build A/B on
+              identical input (the r1 plan vs the r2 one-exchange plan).
+  fat_query : single fattest-term query latency with auto doc-range fan-out
+              engaged vs forced off, incl. the kernel-rate-derived threshold.
+  docs_per_sec, queries_per_sec, n_docs.
 """
 
 import json
@@ -26,7 +35,13 @@ import time
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    repo = os.path.dirname(os.path.abspath(__file__))
+    sys.path.insert(0, repo)
+    sys.path.insert(0, os.path.join(repo, "scripts"))
+
+    from calib import probe
+
+    calib_pre = probe()
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -42,6 +57,8 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from dataclasses import replace
+
     from similarities_spark.config import EngineConfig
     from similarities_spark.functions import ann, dedup, textops
     from similarities_spark.index.build import BM25IndexBuilder
@@ -50,10 +67,10 @@ def main():
 
     timings = {}
 
-    def clock(name, fn):
+    def clock(name, fn, into=None):
         t0 = time.time()
         out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        (timings if into is None else into)[name] = round(time.time() - t0, 3)
         return out
 
     # --- index build ---
@@ -102,6 +119,47 @@ def main():
         lambda: textops.add_text_features(docs).select(F.sum("n_tokens")).collect(),
     )
 
+    # --- informational: fattest-term query, fan-out off vs auto-engaged ---
+    # (kernel-rate calibration picks the threshold; a tiny target task makes
+    # auto fan-out engage even at this SF so the path is exercised for real)
+    fat = {}
+    fat_q = " ".join(terms[:6])  # the 6 fattest terms: max candidate volume
+    eng_off = BM25QueryEngine(index)
+    qdf = spark.createDataFrame([(0, fat_q)], "query_id long, text string")
+    clock("off_s", lambda: eng_off.search_df(qdf, topn=10, fan_out=0).count(), into=fat)
+    eng_auto = BM25QueryEngine(
+        index, cfg=replace(cfg, fan_out_target_task_s=0.001)
+    )
+    clock("auto_s", lambda: eng_auto.search_df(qdf, topn=10).count(), into=fat)
+    fat["fan_out"] = eng_auto.last_fan_out
+    fat["calibration"] = eng_auto.last_calibration
+
+    # --- informational: same-process fused-vs-groupby build A/B ---
+    # (both fresh dirs, warmed JVM, identical input — the r2-vs-r1 plan
+    # delta measured inside ONE window so it is attributable)
+    ab = {}
+    g_dir = tempfile.mkdtemp(prefix="bench_ab_g_")
+    f_dir = tempfile.mkdtemp(prefix="bench_ab_f_")
+    clock(
+        "groupby_s",
+        lambda: BM25IndexBuilder(
+            spark, replace(cfg, postings_mode="groupby")
+        ).build(webtext, g_dir, input_desc=sf_dir),
+        into=ab,
+    )
+    clock(
+        "fused_s",
+        lambda: BM25IndexBuilder(spark, cfg).build(
+            webtext, f_dir, input_desc=sf_dir
+        ),
+        into=ab,
+    )
+    ab["fused_speedup"] = round(ab["groupby_s"] / ab["fused_s"], 3)
+    shutil.rmtree(g_dir, ignore_errors=True)
+    shutil.rmtree(f_dir, ignore_errors=True)
+
+    calib_post = probe()
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "bm25_index_and_query_suite_wall",
@@ -113,6 +171,9 @@ def main():
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / timings["index_build"], 1),
         "queries_per_sec": round(200 / timings["bm25_batch"], 1),
+        "calib": {"pre": calib_pre, "post": calib_post},
+        "ab": ab,
+        "fat_query": fat,
     }
     shutil.rmtree(idx_dir, ignore_errors=True)
     spark.stop()

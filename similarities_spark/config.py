@@ -46,6 +46,12 @@ class EngineConfig:
     # ~500k-way rather than OOMing one task.
     fan_out_threshold: Optional[int] = 2_000_000
     fan_out_max: int = 1024        # cap on auto-chosen range shards per batch
+    # When set, the engine DERIVES fan_out_threshold from a one-time
+    # measurement of the scorer kernel's decode+score throughput (driver-side
+    # microbench over synthetic blocks) so that one scoring task targets
+    # ~this many seconds of work — hardware-aware instead of a fixed posting
+    # count. None keeps the explicit fan_out_threshold.
+    fan_out_target_task_s: Optional[float] = None
     # BM25 variant: "okapi" (reference BM25Similarity default) | "bm25l" |
     # "bm25plus" (reference rank_bm25.py:116-161). One physical index serves
     # all variants (blocks store raw tf/dl/df; idf recomputed at decode).

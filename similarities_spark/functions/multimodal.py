@@ -220,6 +220,28 @@ def image_hashes(
     return df.select(id_col, payload_col).mapInPandas(kernel, IMAGE_HASH_SCHEMA)
 
 
+def image_hash_hamming_pairs(hashes: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """All-pairs hamming distances over the three perceptual hashes:
+    (id_a, id_b, ham_a, ham_d, ham_p), id_a < id_b — the relational
+    near-dup stage downstream of image_hashes, kept fully SQL-expressible
+    (bit_count(a XOR b)) so an external engine can verify it bit-for-bit.
+
+    This surface is for BOUNDED media sets (per-bucket diagnostics, oracle
+    checks): it is a deliberate O(n^2) self-join. The web-scale path blocks
+    candidates first — dedup.simhash_hamming_pairs applies 16-bit-chunk
+    banding + the degenerate-bucket cap to any single int64 hash column and
+    is the operator to reach for at corpus scale."""
+    a, b = hashes.alias("a"), hashes.alias("b")
+    ac, bc = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    return a.join(b, ac < bc).select(
+        ac.alias("id_a"),
+        bc.alias("id_b"),
+        F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))).alias("ham_a"),
+        F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))).alias("ham_d"),
+        F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("ham_p"),
+    )
+
+
 def frame_sample(
     df: DataFrame,
     every_n: int = 10,

@@ -604,6 +604,7 @@ class BM25IndexBuilder:
                 "salt_sample_fraction": cfg.salt_sample_fraction,
                 "fan_out_threshold": cfg.fan_out_threshold,
                 "fan_out_max": cfg.fan_out_max,
+                "fan_out_target_task_s": cfg.fan_out_target_task_s,
                 "variant": cfg.variant,
                 "delta": cfg.delta,
                 "checkpoint_dir": cfg.checkpoint_dir,

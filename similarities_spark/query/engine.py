@@ -60,12 +60,63 @@ _SCORE_SCHEMA = StructType(
 )
 
 
+def _measure_scorer_rate(cfg, avgdl: float) -> float:
+    """Decode+score throughput (postings/sec) of the MaxScore kernel on
+    synthetic single-term blocks — the driver-side microbench behind
+    ``fan_out_target_task_s``. Runs in ~100 ms once per engine; the same
+    numpy kernel executes inside every applyInPandas scoring task, so the
+    measured rate transfers to executor tasks directly."""
+    import time as _time
+
+    import numpy as np
+
+    from similarities_spark.index import codec as _codec
+
+    n = 200_000
+    ids = np.arange(n, dtype=np.int64)
+    tfs = (ids % 7 + 1).astype(np.int64)
+    dls = np.full(n, max(1, int(avgdl)), dtype=np.int64)
+    blocks = _codec.encode_blocks_batch(ids, tfs, dls, cfg.block_size)
+    rows = [
+        (
+            "t", 0, bi, int(ids[lo]), int(ids[hi - 1]), hi - lo,
+            int(tfs[lo:hi].max()), int(tfs[lo:hi].min()),
+            int(dls[lo:hi].max()), int(dls[lo:hi].min()),
+            payload, n, 1.0,
+        )
+        for bi, (payload, lo, hi) in enumerate(blocks)
+    ]
+    pdf = pd.DataFrame(
+        rows,
+        columns=[
+            "term", "salt", "block_id", "min_doc", "max_doc", "n_postings",
+            "tf_max", "tf_min", "dl_max", "dl_min", "payload", "df", "idf",
+        ],
+    )
+    best = float("inf")
+    for _ in range(2):  # second run is warm (numpy/codec JIT-free, cache-hot)
+        t0 = _time.perf_counter()
+        _scorer.score_query(
+            ["t"], pdf, 10, avgdl, cfg.k1, cfg.b,
+            prune=False,  # full decode: measures the worst-case task
+            variant="okapi", delta=0.0, n_docs=n,
+        )
+        best = min(best, _time.perf_counter() - t0)
+    return n / best
+
+
 class BM25QueryEngine:
-    def __init__(self, index: BM25Index):
+    def __init__(self, index: BM25Index, cfg=None):
+        """``cfg`` overrides the index's stored config for query-time-only
+        knobs (score_mode, fan_out_*, variant); index-layout fields must
+        match what was built."""
         self.index = index
         self.spark = index.spark
-        self.cfg = index.config()
+        self.cfg = cfg if cfg is not None else index.config()
         self.last_fan_out: Optional[int] = None
+        # populated on first use when fan_out_target_task_s is set
+        self.last_calibration: Optional[dict] = None
+        self._resolved_fan_out_threshold: Optional[int] = None
         # the one cached DF per search (scored): kept alive while the caller
         # materializes the returned hits, released on the NEXT search (or
         # close()) — a long-lived session issuing thousands of batches must
@@ -77,6 +128,26 @@ class BM25QueryEngine:
         if self._live_scored is not None:
             self._live_scored.unpersist()
             self._live_scored = None
+
+    def fan_out_threshold(self) -> Optional[int]:
+        """Effective auto-fan-out threshold: the configured posting count,
+        or — when ``fan_out_target_task_s`` is set — derived once from the
+        measured kernel rate so one scoring task holds ~target seconds of
+        decode+score work on THIS hardware."""
+        cfg = self.cfg
+        if cfg.fan_out_target_task_s is None:
+            return cfg.fan_out_threshold
+        if self._resolved_fan_out_threshold is None:
+            rate = _measure_scorer_rate(cfg, self.index.avgdl)
+            self._resolved_fan_out_threshold = max(
+                1_000, int(rate * cfg.fan_out_target_task_s)
+            )
+            self.last_calibration = {
+                "scorer_postings_per_s": round(rate, 1),
+                "fan_out_threshold": self._resolved_fan_out_threshold,
+                "target_task_s": cfg.fan_out_target_task_s,
+            }
+        return self._resolved_fan_out_threshold
 
     def search(
         self,
@@ -209,7 +280,8 @@ class BM25QueryEngine:
         )
         qblocks = F.broadcast(qstats).join(blocks, "term", "inner")
 
-        if fan_out is None and cfg.fan_out_threshold:
+        fan_thr = self.fan_out_threshold()
+        if fan_out is None and fan_thr:
             # auto fan-out: candidate volume of the fattest query, estimated
             # as sum(df) over its in-index terms (exact upper bound on the
             # postings one scorer task would decode)
@@ -217,16 +289,91 @@ class BM25QueryEngine:
             for q, t, df_, _ in known:
                 per_q[q] = per_q.get(q, 0) + df_
             max_cand = max(per_q.values(), default=0)
-            if (
-                variant in ("okapi", "bm25l")
-                and max_cand > cfg.fan_out_threshold
-            ):
-                fan_out = min(
-                    cfg.fan_out_max,
-                    -(-max_cand // cfg.fan_out_threshold),
-                )
+            if variant in ("okapi", "bm25l") and max_cand > fan_thr:
+                fan_out = min(cfg.fan_out_max, -(-max_cand // fan_thr))
         # observability (and test hook): the fan-out actually used
         self.last_fan_out = fan_out
+        return self._finish_search(
+            qtok, qblocks, queries_df, topn, fan_out, include_text
+        )
+
+    def search_join_df(
+        self,
+        queries_df: DataFrame,
+        topn: int = 10,
+        include_text: bool = False,
+    ) -> DataFrame:
+        """Fully-distributed batch query path: NO per-query driver work —
+        for query sets too large to stage driver-side.
+
+        ``search_df``'s contract is "queries are driver-adjacent": it
+        collects the distinct query terms once to build literal
+        bucket/term pruning predicates and a broadcast stats side — the
+        right physical plan up to ~10^5 queries. This path instead JOINS:
+        query terms x term_stats (distributed hash join on term) and
+        query terms x blocks on (bucket, term), so a million-query batch
+        never stages rows on the driver. Trade-offs, by design:
+        - blocks pruning relies on the join + dynamic/runtime filters
+          instead of literal IN predicates (a broad query set would defeat
+          literal pruning anyway);
+        - auto fan-out sizing needs one SCALAR agg job (max per-query
+          candidate volume), not per-query driver rows.
+        Results are identical to search_df (parity-tested)."""
+        cfg = self.cfg
+        tok_udf = make_tokenizer_udf("query")
+        qtok = queries_df.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.posexplode(tok_udf(F.col("text"))).alias("pos", "term"),
+        )
+        # fresh explode (not qtok.select): the cogroup below holds qtok on
+        # one side and this lineage on the other — sharing qtok's attribute
+        # ids would trip Spark's ambiguous-self-join detection
+        qterms = queries_df.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.explode(tok_udf(F.col("text"))).alias("term"),
+        ).distinct()
+        qstats = qterms.join(
+            self.index.term_stats(), "term", "inner"
+        ).withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(cfg.num_term_buckets)).cast("int"),
+        )
+        qblocks = qstats.join(self.index.blocks(), ["bucket", "term"], "inner")
+
+        fan_out = None
+        fan_thr = self.fan_out_threshold()
+        if fan_thr and cfg.variant in ("okapi", "bm25l"):
+            row = (
+                qstats.groupBy("query_id")
+                .agg(F.sum("df").alias("c"))
+                .agg(F.max("c").alias("m"))
+                .collect()[0]
+            )
+            max_cand = int(row["m"] or 0)
+            if max_cand > fan_thr:
+                fan_out = min(cfg.fan_out_max, -(-max_cand // fan_thr))
+        self.last_fan_out = fan_out
+        return self._finish_search(
+            qtok, qblocks, queries_df, topn, fan_out, include_text
+        )
+
+    def _finish_search(
+        self,
+        qtok: DataFrame,
+        qblocks: DataFrame,
+        queries_df: DataFrame,
+        topn: int,
+        fan_out: Optional[int],
+        include_text: bool,
+    ) -> DataFrame:
+        """Shared scoring tail: optional doc-range fan-out, cogrouped
+        MaxScore kernel, padding + ranking, optional text join."""
+        cfg = self.cfg
+        avgdl = self.index.avgdl
+        n_docs = self.index.n_docs
+        k1, b, k = cfg.k1, cfg.b, topn
+        prune = cfg.score_mode == "wand"
+        variant, delta = cfg.variant, cfg.resolved_delta()
 
         if fan_out:
             per = max(1, (n_docs + fan_out - 1) // fan_out)
@@ -294,8 +441,10 @@ class BM25QueryEngine:
         ties by ascending doc_id) + final ranking. Padding work only runs for
         flagged/zero-match queries — never on the happy path at scale.
 
-        ONE driver collect decides the padding set: a left join of the query
-        ids against a per-query scored summary (pad flag + match count)."""
+        Fully declarative over the query set: the padding set is a JOINED
+        DataFrame, never a driver-side literal, so batches of millions of
+        queries collect only ONE scalar row (flag count + max matched) —
+        needed to size the low-doc-id pad pool and pick the fast path."""
         self.close()  # release the previous search's cache before persisting
         scored = scored.persist()
         self._live_scored = scored
@@ -305,7 +454,9 @@ class BM25QueryEngine:
 
         # per-range flags first, then per-query: a query needs padding only
         # if EVERY range flagged it (a single unflagged range proves k docs
-        # above the pad score exist globally); n_matched sums over ranges
+        # above the pad score exist globally); n_matched sums over ranges.
+        # A query id absent from `scored` entirely (no term matched any
+        # block) is zero-match: pad from score 0.0.
         per_range = scored.select(
             "query_id", "range_id", "n_matched", "needs_pad", "pad_score"
         ).distinct()
@@ -314,59 +465,56 @@ class BM25QueryEngine:
             F.sum("n_matched").alias("n_matched"),
             F.max("pad_score").alias("pad_score"),
         )
-        status = (
+        pad_q = (
             queries_df.select(F.col("query_id").cast("long").alias("query_id"))
             .distinct()
             .join(summary, "query_id", "left")
-            .collect()
+            .filter(F.col("pad").isNull() | (F.col("pad") == 1))
+            .select(
+                "query_id",
+                F.coalesce(F.col("pad_score"), F.lit(0.0)).alias("score"),
+                F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+            )
+            .persist()
         )
-        flagged = [
-            (int(r["query_id"]), int(r["n_matched"]), float(r["pad_score"]))
-            for r in status
-            if r["pad"] == 1
-        ]
-        zero_match = [int(r["query_id"]) for r in status if r["pad"] is None]
-        pad_ids = [(q, ps) for q, _, ps in flagged] + [
-            (q, 0.0) for q in zero_match
-        ]
+        # the ONLY driver values: does any query need padding, and how many
+        # matched rows can a padded query already hold (sizes the pad pool)
+        g = pad_q.agg(
+            F.count(F.lit(1)).alias("n_pad"), F.max("n_matched").alias("mm")
+        ).collect()[0]
+        n_pad, max_matched = int(g["n_pad"]), int(g["mm"] or 0)
 
-        flagged_qids = {q for q, _ in pad_ids}
-        ok = scored.filter(
-            ~F.col("query_id").isin(list(flagged_qids))
-            if flagged_qids
-            else F.lit(True)
-        ).select("query_id", "doc_id", "score")
-        if not pad_ids:
+        if n_pad == 0:
+            pad_q.unpersist()
             return (
-                ok.withColumn("rank", F.row_number().over(w))
+                scored.select("query_id", "doc_id", "score")
+                .withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= k)
                 .select("query_id", "rank", "doc_id", "score")
             )
 
-        max_matched = max([m for _, m, _ in flagged], default=0)
+        ok = scored.join(
+            pad_q.select("query_id"), "query_id", "left_anti"
+        ).select("query_id", "doc_id", "score")
         low_docs = (
             self.index.docs()
             .select("doc_id")
             .orderBy("doc_id")
             .limit(k + max_matched)
         )
-        pad_q = self.spark.createDataFrame(
-            pd.DataFrame(
-                {
-                    "query_id": [q for q, _ in pad_ids],
-                    "score": [ps for _, ps in pad_ids],
-                }
+        zero_rows = (
+            pad_q.select("query_id", "score")
+            .crossJoin(F.broadcast(low_docs))
+            .join(
+                scored.select("query_id", "doc_id"),
+                ["query_id", "doc_id"],
+                "left_anti",
             )
-        ).select(F.col("query_id").cast("long"), F.col("score").cast("double"))
-        zero_rows = pad_q.crossJoin(F.broadcast(low_docs)).join(
-            scored.select("query_id", "doc_id"),
-            ["query_id", "doc_id"],
-            "left_anti",
         )
         pad_rows = (
-            scored.filter(F.col("query_id").isin(list(flagged_qids)))
+            scored.join(pad_q.select("query_id"), "query_id", "left_semi")
             .select("query_id", "doc_id", "score")
-            .unionByName(zero_rows)
+            .unionByName(zero_rows.select("query_id", "doc_id", "score"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
         )

@@ -178,6 +178,134 @@ def test_search_does_not_accumulate_cached_rdds(spark, tmp_path):
     assert jsc.getPersistentRDDs().size() <= counts[0]
 
 
+# ---------- lexicon similarity: golden fixture ----------
+
+
+def test_lexicon_word_sim_golden(spark):
+    """Hand-computed goldens for the max-over-senses word score (mirrors
+    reference literal_similarity.py:657-690 Cilin combination semantics on a
+    tiny in-repo fixture lexicon — the data itself is not redistributable)."""
+    from similarities_spark.functions import lexicon
+
+    lex = spark.createDataFrame(
+        [
+            ("bank", "AAAAA"),
+            ("bank", "BBBBB"),  # two senses: the pair score is the MAX
+            ("river", "BBBBC"),
+            ("car", "AAAAA"),
+            ("auto", "AAAAA"),
+            ("plane", "AAABB"),
+            ("red", "CCCCC"),
+        ],
+        "word string, sense_key string",
+    )
+    pairs = spark.createDataFrame(
+        [("bank", "river"), ("car", "plane"), ("car", "auto"), ("red", "car")],
+        "w1 string, w2 string",
+    )
+    got = {
+        (r["w1"], r["w2"]): r["sim"]
+        for r in lexicon.word_pair_sim(lex, pairs).collect()
+    }
+    # bank(BBBBB) vs river(BBBBC): prefixes 1..4 match, 5 not -> 4/5;
+    # the AAAAA sense scores 0/5 — max wins
+    assert got[("bank", "river")] == pytest.approx(0.8)
+    # AAAAA vs AAABB: prefixes 1..3 match -> 3/5
+    assert got[("car", "plane")] == pytest.approx(0.6)
+    assert got[("car", "auto")] == pytest.approx(1.0)
+    assert got[("red", "car")] == pytest.approx(0.0)
+
+
+def test_lexicon_sentence_sim_golden(spark):
+    """Directed-average combination golden (reference
+    literal_similarity.py:692-720): s1='car red', s2='auto plane' ->
+    a1 = avg(max(1.0, 0.6), max(0, 0)) = 0.5
+    a2 = avg(max(1.0, 0), max(0.6, 0)) = 0.8
+    sim = (0.5 + 0.8) / 2 = 0.65"""
+    from similarities_spark.functions import lexicon
+
+    lex = spark.createDataFrame(
+        [
+            ("car", "AAAAA"),
+            ("auto", "AAAAA"),
+            ("plane", "AAABB"),
+            ("red", "CCCCC"),
+        ],
+        "word string, sense_key string",
+    )
+    sents = spark.createDataFrame(
+        [(0, "car red", "auto plane")], "pair_id long, s1 string, s2 string"
+    )
+    got = lexicon.sentence_sim(lex, sents).collect()
+    assert len(got) == 1
+    assert got[0]["sim"] == pytest.approx(0.65)
+
+
+# ---------- fan-out threshold calibration ----------
+
+
+def test_fan_out_threshold_calibrates_from_kernel_rate(spark, tmp_path):
+    import dataclasses
+
+    df = spark.createDataFrame(synth_webtext_pandas(n_docs=60, seed=9))
+    idx = _build(spark, df, tmp_path / "i", EngineConfig(num_term_buckets=4))
+    eng = BM25QueryEngine(
+        idx, cfg=dataclasses.replace(idx.config(), fan_out_target_task_s=0.5)
+    )
+    thr = eng.fan_out_threshold()
+    assert thr >= 1_000
+    cal = eng.last_calibration
+    assert cal["scorer_postings_per_s"] > 0
+    assert cal["fan_out_threshold"] == thr
+    assert eng.fan_out_threshold() == thr  # measured once, cached
+
+    # results identical with calibration on vs off (fan-out is physical)
+    base = BM25QueryEngine(idx).search(["data web the of"], topn=5).collect()
+    cal_hits = eng.search(["data web the of"], topn=5).collect()
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows
+    )
+    assert key(base) == key(cal_hits)
+
+
+# ---------- fully-distributed join query path ----------
+
+
+def test_search_join_df_matches_search_df(spark, tmp_path):
+    """The no-driver-collect query path must return exactly search_df's
+    hits — including padding semantics (unknown-term and all-negative-idf
+    queries) and fan-out decomposition."""
+    import dataclasses
+
+    df = spark.createDataFrame(synth_webtext_pandas(n_docs=100, seed=21))
+    idx = _build(
+        spark, df, tmp_path / "i", EngineConfig(num_term_buckets=4)
+    )
+    queries = [
+        "data web w0003",
+        "zzz unknown terms only",  # zero-match -> full zero padding
+        "the of and",  # stopword-free build: head terms
+    ]
+    qdf = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(queries)], "query_id long, text string"
+    )
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows
+    )
+    eng = BM25QueryEngine(idx)
+    base = key(eng.search_df(qdf, topn=7).collect())
+    joined = key(eng.search_join_df(qdf, topn=7).collect())
+    assert joined == base
+
+    # with a tiny threshold the join path must fan out AND stay identical
+    eng_f = BM25QueryEngine(
+        idx, cfg=dataclasses.replace(idx.config(), fan_out_threshold=20)
+    )
+    fanned = key(eng_f.search_join_df(qdf, topn=7).collect())
+    assert eng_f.last_fan_out and eng_f.last_fan_out > 1
+    assert fanned == base
+
+
 # ---------- streaming null-text passthrough ----------
 
 
