@@ -103,6 +103,17 @@ def main():
         ("ENGINE fused build (tokenize->explode->salt->encode)", engine_build_plan)
     )
 
+    # 6) distributed join query path (search_join_df): query terms must
+    # arrive at term_stats/blocks via JOINS of the queries DataFrame — no
+    # driver-staged literal term list in the plan
+    qdf = spark.createDataFrame(
+        [(0, "dup key scan")], "query_id long, text string"
+    )
+    jp_hits = engine.search_join_df(qdf, topn=10)
+    sections.append(
+        ("distributed join query path (search_join_df)", grab_plan(jp_hits))
+    )
+
     checks = []
     qp = sections[0][1]
     checks.append(("query path broadcasts query terms (no index shuffle)",
@@ -135,6 +146,15 @@ def main():
     )
     checks.append(("ENGINE fused build has no pre-encode hash aggregate",
                    "HashAggregate" not in fmt and "SortAggregate" not in fmt))
+    jp = sections[5][1]
+    # the driver-adjacent path ships stats as a literal table and never
+    # scans term_stats; the join path must instead show a real term_stats
+    # parquet scan feeding a join — proof that no per-query driver staging
+    # happened (the plan's scan Locations name the index directories)
+    checks.append(
+        ("join query path joins the term_stats scan (no driver staging)",
+         "term_stats" in jp and "Join" in jp)
+    )
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/PLANS.md", "w") as f:
