@@ -46,6 +46,7 @@ from pyspark.sql.types import (
 from similarities_spark.index.build import BM25Index
 from similarities_spark.query import scorer as _scorer
 from similarities_spark.tokenize import make_tokenizer_udf
+from similarities_spark.xxh64 import term_bucket
 
 _SCORE_SCHEMA = StructType(
     [
@@ -217,22 +218,12 @@ class BM25QueryEngine:
         qt_pairs = [(int(r["query_id"]), r["term"]) for r in qt_rows]
         terms = sorted({t for _, t in qt_pairs})
         if terms:
-            # bucket of each term via the SAME JVM xxhash64 the writer used
+            # bucket of each term via pure-Python xxHash64 — bit-identical
+            # to the JVM xxhash64 the index writer used (fuzz-gated parity,
+            # tests/test_r3_fixes.py) and one fewer Spark job per batch
+            # than hashing through a createDataFrame round-trip
             buckets = sorted(
-                {
-                    int(r["bucket"])
-                    for r in self.spark.createDataFrame(
-                        [(t,) for t in terms], "term string"
-                    )
-                    .select(
-                        F.pmod(
-                            F.xxhash64("term"), F.lit(cfg.num_term_buckets)
-                        )
-                        .cast("int")
-                        .alias("bucket")
-                    )
-                    .collect()
-                }
+                {term_bucket(t, cfg.num_term_buckets) for t in terms}
             )
             stat_map = {
                 r["term"]: (int(r["df"]), float(r["idf"]))

@@ -72,6 +72,52 @@ def tokenize_text(
     return [w for w in toks if (w.strip().lower() not in sw) and len(w.strip()) > 0]
 
 
+def _fallback_tagger(text: str):
+    """POS-ish tagger for the no-jieba container: regex segmentation with
+    coarse flags — 'x' for punctuation-only tokens (dropped by the TFIDF
+    filter, like jieba's), 'eng' for latin/digit runs, 'n' otherwise. The
+    FILTER math downstream is exactly the reference's; only the segmenter
+    differs (same seam as tokenize_text)."""
+    for tok in _FALLBACK_RE.findall(text):
+        if re.fullmatch(r"[A-Za-z0-9_]+", tok):
+            yield tok, "eng"
+        elif re.fullmatch(r"[^\w一-鿿]+", tok):
+            yield tok, "x"
+        else:
+            yield tok, "n"
+
+
+def tokenize_tfidf_text(
+    text: str,
+    stopwords: Optional[Iterable[str]] = None,
+    tagger=None,
+) -> List[str]:
+    """Reference TFIDF token filter (reference utils/tfidf.py:63-65):
+    POS-tagged segmentation, drop tokens whose POS flag STARTS WITH
+    'u'/'x'/'w' (particles, non-words, punctuation), then drop stopwords —
+    EXCEPT tokens whose stripped length is < 2, which survive the stopword
+    filter (the reference's keep-if-len<2 quirk, replicated verbatim).
+
+    ``tagger`` is any callable text -> iterable of (word, flag);
+    jieba.posseg.cut when jieba is importable (the reference's tagger),
+    else the regex fallback above. Contract tests in
+    tests/test_jieba_seam.py prove the jieba path the moment the lib
+    appears."""
+    if text is None:
+        return []
+    sw = stopwords if stopwords is not None else ()
+    sw = sw if isinstance(sw, (set, frozenset)) else frozenset(sw)
+    if tagger is None:
+        if HAS_JIEBA:
+            import jieba.posseg as _posseg
+
+            tagger = lambda t: ((w.word, w.flag) for w in _posseg.cut(t))
+        else:
+            tagger = _fallback_tagger
+    words = [w for w, flag in tagger(text) if not flag or flag[0] not in "uxw"]
+    return [w for w in words if w.lower() not in sw or len(w.strip()) < 2]
+
+
 def make_tokenizer_udf(mode: str = "corpus", stopwords: Optional[frozenset] = None):
     """Arrow-vectorized tokenizer: string column -> array<string> column.
 

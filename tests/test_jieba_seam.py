@@ -57,6 +57,48 @@ def test_corpus_mode_stopword_filter_over_jieba_tokens():
     assert got == [t for t in toks if t != "了"]
 
 
+def test_tfidf_pos_filter_math_with_fake_tagger():
+    """The reference's TFIDF filter (utils/tfidf.py:63-65) with a pluggable
+    tagger — always runnable: flag-first-char u/x/w drop + the
+    keep-if-len<2 stopword quirk."""
+    from similarities_spark.tokenize import tokenize_tfidf_text
+
+    def tagger(_):
+        return [
+            ("结婚", "v"), ("的", "uj"), ("和", "c"), ("，", "x"),
+            ("尚未", "d"), ("（", "w"), ("a", "eng"), ("the", "eng"),
+        ]
+
+    got = tokenize_tfidf_text(
+        "ignored", stopwords={"和", "the", "a"}, tagger=tagger
+    )
+    # 的(uj), ，(x), （(w) drop by POS; 和/a survive the stopword filter
+    # via len<2; the (len 3, stopword) drops
+    assert got == ["结婚", "和", "尚未", "a"]
+
+
+def test_tfidf_pos_filter_fallback_tagger_drops_punct():
+    from similarities_spark.tokenize import HAS_JIEBA, tokenize_tfidf_text
+
+    if HAS_JIEBA:
+        pytest.skip("fallback tagger only active without jieba")
+    got = tokenize_tfidf_text("hello , world !! ok", stopwords={"ok"})
+    assert got == ["hello", "world"]
+
+
+@jieba_required
+def test_tfidf_pos_filter_jieba_golden():
+    """jieba.posseg README example: 我爱北京天安门 -> 我/r 爱/v 北京/ns
+    天安门/ns — nothing carries a u/x/w flag, so everything survives the
+    POS stage; '我' (len 1) survives even as a stopword (the quirk)."""
+    from similarities_spark.tokenize import tokenize_tfidf_text
+
+    assert tokenize_tfidf_text("我爱北京天安门") == ["我", "爱", "北京", "天安门"]
+    assert tokenize_tfidf_text("我爱北京天安门", stopwords={"我"}) == [
+        "我", "爱", "北京", "天安门",
+    ]
+
+
 @jieba_required
 def test_spark_udf_parity_with_jieba(spark):
     import jieba

@@ -268,6 +268,94 @@ def test_fan_out_threshold_calibrates_from_kernel_rate(spark, tmp_path):
     assert key(base) == key(cal_hits)
 
 
+# ---------- LSH recall at realistic embedding dimensionality ----------
+
+
+def test_lsh_recall_high_dim_anisotropic(spark):
+    """r2 verdict: LSH recall at 16 synthetic dims may not predict recall
+    at real-encoder dims. This gates recall@10 on 256-d ANISOTROPIC
+    vectors — a shared mean direction plus a decaying spectrum, the shape
+    real sentence-embedding clouds have (narrow cone, high baseline
+    cosine) — against the exact scan."""
+    import numpy as np
+
+    rng = np.random.RandomState(77)
+    n, dim = 1500, 256
+    spectrum = 1.0 / np.sqrt(1.0 + np.arange(dim))  # decaying variances
+    mean_dir = rng.normal(size=dim)
+    mean_dir /= np.linalg.norm(mean_dir)
+    z = rng.normal(size=(n, dim)) * spectrum
+    vecs = z + 1.5 * mean_dir  # anisotropy: common component dominates
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+
+    n_q = 5
+    q_idx = [3, 211, 700, 1111, 1499]
+    qvecs = vecs[q_idx] + 0.05 * rng.normal(size=(n_q, dim)) * spectrum
+    qvecs /= np.linalg.norm(qvecs, axis=1, keepdims=True)
+
+    k = 10
+    exact = {}
+    for qi in range(n_q):
+        cos = vecs @ qvecs[qi]
+        order = np.lexsort((np.arange(n), -np.round(cos, 6)))
+        exact[qi] = set(order[:k].tolist())
+
+    vdf = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    qdf = spark.createDataFrame(
+        [(qi, qvecs[qi].tolist()) for qi in range(n_q)],
+        "qid long, qvec array<double>",
+    )
+    from similarities_spark.functions import ann
+
+    got = ann.lsh_cosine_topk(
+        vdf, qdf, k=k, n_planes=6, n_tables=6, dim=dim
+    ).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(int(r["qid"]), set()).add(int(r["vec_id"]))
+    recalls = [
+        len(by_q.get(qi, set()) & exact[qi]) / k for qi in range(n_q)
+    ]
+    assert sum(recalls) / n_q >= 0.8, recalls
+
+
+# ---------- pure-Python xxHash64 parity (partition-pruning correctness) ----------
+
+
+def test_xxh64_matches_spark_xxhash64(spark):
+    """The engine prunes index partitions with driver-computed
+    pmod(xxh64(term), B); ANY divergence from the JVM hash silently reads
+    the wrong bucket, so this fuzz gate is load-bearing. Covers every
+    length class (empty, <4, <8, <32, 32, >32), ASCII and CJK."""
+    import random
+    import string as _s
+
+    from similarities_spark.xxh64 import term_bucket, xxh64_signed
+
+    rng = random.Random(5)
+    cases = [
+        "", "a", "dup", "the", "刘若英是演员", "花呗更改绑定银行卡" * 7,
+        "x" * 31, "y" * 32, "z" * 33, "w" * 100,
+    ]
+    alphabet = _s.ascii_letters + "0123456789一二三四五六七八九十"
+    cases += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80)))
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame([(c,) for c in set(cases)], "term string")
+    rows = df.select(
+        "term",
+        F.xxhash64("term").alias("h"),
+        F.pmod(F.xxhash64("term"), F.lit(16)).cast("int").alias("b"),
+    ).collect()
+    for r in rows:
+        assert xxh64_signed(r["term"].encode()) == r["h"], r["term"]
+        assert term_bucket(r["term"], 16) == r["b"], r["term"]
+
+
 # ---------- fully-distributed join query path ----------
 
 
