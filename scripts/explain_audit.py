@@ -103,6 +103,12 @@ def main():
         ("ENGINE fused build (tokenize->explode->salt->encode)", engine_build_plan)
     )
 
+    # 5b) term_stats lookup: the per-batch stats read must push its term
+    # IN-list into the parquet scan (the table is written range-partitioned
+    # + sorted by term, so the pushed filter prunes row groups)
+    st = idx.term_stats().filter(F.col("term").isin(["dup", "key"]))
+    sections.append(("term_stats lookup (term IN pushdown)", grab_plan(st)))
+
     # 6) distributed join query path (search_join_df): query terms must
     # arrive at term_stats/blocks via JOINS of the queries DataFrame — no
     # driver-staged literal term list in the plan
@@ -146,7 +152,12 @@ def main():
     )
     checks.append(("ENGINE fused build has no pre-encode hash aggregate",
                    "HashAggregate" not in fmt and "SortAggregate" not in fmt))
-    jp = sections[5][1]
+    sp = sections[5][1]
+    checks.append(
+        ("term_stats lookup pushes term IN-list to parquet scan",
+         "In(term, [dup,key])" in sp or "In(term," in sp)
+    )
+    jp = sections[6][1]
     # the driver-adjacent path ships stats as a literal table and never
     # scans term_stats; the join path must instead show a real term_stats
     # parquet scan feeding a join — proof that no per-query driver staging

@@ -203,6 +203,27 @@ def _apply_increment(index_dir: str, inc_dir: str) -> None:
     shutil.rmtree(inc_dir, ignore_errors=True)
 
 
+def _finish_blocks_swap(index_dir: str) -> None:
+    """Complete (or roll forward after a crash) an atomic blocks-dir swap
+    recorded in blocks.swap.json — see BM25IndexBuilder.compact. Idempotent:
+    every step re-checks state, so re-running after a crash at ANY point
+    converges to the post-swap layout."""
+    marker = os.path.join(index_dir, "blocks.swap.json")
+    if not os.path.exists(marker):
+        return
+    with open(marker, "r", encoding="utf-8") as f:
+        swap = json.load(f)
+    live = os.path.join(index_dir, "blocks")
+    nxt = os.path.join(index_dir, swap["next"])
+    old = os.path.join(index_dir, swap["old"])
+    if os.path.isdir(nxt):
+        if os.path.isdir(live):
+            os.rename(live, old)
+        os.rename(nxt, live)
+    os.remove(marker)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 class BM25Index:
     """Handle to an on-disk index: meta.json + docs/term_stats/blocks parquet."""
 
@@ -211,9 +232,10 @@ class BM25Index:
         self.index_dir = index_dir
         # roll forward any increment that committed (COMMIT.json written)
         # but crashed before finishing its renames — opening an index always
-        # observes a consistent state
+        # observes a consistent state; likewise any mid-swap compaction
         for inc in _pending_increments(index_dir):
             _apply_increment(index_dir, inc)
+        _finish_blocks_swap(index_dir)
         with open(os.path.join(index_dir, "meta.json"), "r", encoding="utf-8") as f:
             self.meta = json.load(f)
 
@@ -782,7 +804,13 @@ class BM25IndexBuilder:
             .alias("idf"),
         )
         tmp_stats = os.path.join(inc_dir, "term_stats")
-        stats.write.mode("overwrite").parquet(tmp_stats)
+        # same sorted layout as _finish_term_stats (row-group prunable)
+        (
+            stats.repartitionByRange(F.col("term"))
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(tmp_stats)
+        )
         raw.unpersist()
         rows.unpersist()  # no-op in fused mode (exploded is never persisted)
 
@@ -819,6 +847,119 @@ class BM25IndexBuilder:
         if _fail_after_commit_record:
             raise RuntimeError("test hook: crash after commit record")
         _apply_increment(index_dir, inc_dir)
+        return BM25Index(self.spark, index_dir)
+
+    def compact(self, index_dir: str) -> BM25Index:
+        """Merge accumulated incremental segments back into the optimal
+        physical layout — the Lucene-merge analog, run offline between
+        ingest waves.
+
+        Incremental merges append IMMUTABLE segments (see merge_new_docs),
+        so a term touched by k increments holds k+1 segments whose final
+        blocks are partial (< block_size) and whose doc ranges interleave
+        at decode time. Queries stay correct (the scorer's candidate merge
+        is order-insensitive and per-block bounds hold regardless), but
+        each extra segment costs block-metadata rows + partial-block decode
+        overhead. Compaction rebuilds one sorted run per (term, salt) with
+        full blocks and salt ranges recomputed from the CURRENT corpus
+        size — WITHOUT re-tokenizing anything: postings reconstruct from
+        the block payloads themselves (one pruned blocks scan + the
+        standard single-exchange encode).
+
+        The swap is crash-safe: the new layout is written beside the live
+        one, a blocks.swap.json marker is committed, and the two renames
+        roll forward on the next open if interrupted (_finish_blocks_swap).
+        term_stats/meta are unchanged by construction (same postings, same
+        df/idf/N) except salt_per_range and a compaction record."""
+        cfg = self.cfg
+        t0 = time.time()
+        idx = BM25Index(self.spark, index_dir)  # rolls forward pending work
+        n_docs = idx.n_docs
+
+        # blocks -> postings rows, Arrow-batched; column-pruned scan
+        decode_schema = StructType(
+            [
+                StructField("term", StringType()),
+                StructField("doc_id", LongType()),
+                StructField("doc_len", LongType()),
+                StructField("tf", LongType()),
+            ]
+        )
+
+        def decode_kernel(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ids, tfs, dls = codec.decode_blocks_batch(
+                    [bytes(p) for p in pdf["payload"]],
+                    pdf["n_postings"].to_numpy(dtype=np.int64),
+                )
+                terms = np.repeat(
+                    pdf["term"].to_numpy(),
+                    pdf["n_postings"].to_numpy(dtype=np.int64),
+                )
+                yield pd.DataFrame(
+                    {"term": terms, "doc_id": ids, "doc_len": dls, "tf": tfs}
+                )
+
+        postings = (
+            idx.blocks()
+            .select("term", "n_postings", "payload")
+            .mapInPandas(decode_kernel, decode_schema)
+        )
+        # exact df is already on disk — the salt list costs one tiny scan
+        heavy = self._collect_heavy(
+            idx.term_stats()
+            .filter(F.col("df") >= cfg.salt_df_threshold)
+            .select("term", F.lit(True).alias("_heavy"))
+        )
+        per_salt = cfg.salt_bounds(n_docs)
+        salted = (
+            postings.join(F.broadcast(heavy), "term", "left")
+            .withColumn(
+                "salt",
+                F.when(
+                    F.col("_heavy").isNotNull(),
+                    (F.col("doc_id") / F.lit(per_salt)).cast("int"),
+                ).otherwise(F.lit(0)),
+            )
+            .drop("_heavy")
+        )
+        encoder = _make_block_encoder(cfg)
+        swap_id = uuid.uuid4().hex[:8]
+        next_name = f"blocks.next-{swap_id}"
+        (
+            salted.groupBy("term", "salt")
+            .applyInPandas(encoder, _BLOCK_SCHEMA)
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("term"), F.lit(cfg.num_term_buckets)).cast(
+                    "int"
+                ),
+            )
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(index_dir, next_name))
+        )
+        marker_tmp = os.path.join(index_dir, "blocks.swap.json.tmp")
+        with open(marker_tmp, "w", encoding="utf-8") as f:
+            json.dump({"next": next_name, "old": f"blocks.old-{swap_id}"}, f)
+        os.replace(marker_tmp, os.path.join(index_dir, "blocks.swap.json"))
+        _finish_blocks_swap(index_dir)
+
+        # meta: record the compaction (resume stays distrustful of stage
+        # manifests exactly as after any increment) + the new salt ranges.
+        # A crash before this write leaves a compacted index with a stale
+        # salt_per_range — layout metadata only, scores unaffected.
+        meta = dict(idx.meta)
+        meta["salt_per_range"] = per_salt
+        meta.setdefault("increments", []).append(
+            {"compaction": swap_id, "wall_s": round(time.time() - t0, 2)}
+        )
+        tmp = os.path.join(index_dir, "meta.json.tmp")
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(index_dir, "meta.json"))
         return BM25Index(self.spark, index_dir)
 
     # ---------- stages ----------
@@ -1014,7 +1155,17 @@ class BM25IndexBuilder:
             .otherwise(F.col("idf_raw"))
             .alias("idf"),
         )
-        stats.write.mode("overwrite").parquet(stats_path)
+        # range-partitioned + sorted by term: the query path's per-batch
+        # stats lookup (term IN [...]) then prunes to a handful of row
+        # groups via parquet min/max stats instead of scanning the whole
+        # vocab table — immaterial at test vocab sizes, decisive at 10^9
+        # terms. The extra exchange is over the tiny vocab table only.
+        (
+            stats.repartitionByRange(F.col("term"))
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(stats_path)
+        )
         raw.unpersist()
         meta = {
             "vocab_size": vocab_size,
