@@ -520,6 +520,29 @@ def q_ndcg_map_eval(spark, sf_dir):
     )
 
 
+def q_eval_extras(spark, sf_dir):
+    """Accuracy@k / Recall_cap@k / Hole@k (reference evaluation.py:39-122)
+    over the BM25 ranking + graded qrels — completes driver-oracle coverage
+    of the evaluation operator family (mrr_eval and ndcg_map_eval cover the
+    rest)."""
+    from similarities_spark import evaluation
+
+    hits = q_bm25_topk(spark, sf_dir).select("query_id", "rank", "doc_id")
+    qrels = _graded_qrels(spark, sf_dir)
+    acc = evaluation.accuracy_at_k(hits, qrels, ks=EVAL_KS)
+    rc = evaluation.recall_cap_at_k(hits, qrels, ks=EVAL_KS)
+    hl = evaluation.hole_at_k(hits, qrels, ks=EVAL_KS)
+    return (
+        acc.join(rc, "k").join(hl, "k")
+        .select(
+            F.col("k").cast("long"),
+            F.round("accuracy", 9).alias("acc_r"),
+            F.round("recall_cap", 9).alias("rcap_r"),
+            F.round("hole", 9).alias("hole_r"),
+        )
+    )
+
+
 def q_event_window_counts(spark, sf_dir):
     """Tumbling-window aggregation over the events stream table — the same
     plan streaming/incremental.windowed_event_counts binds a watermark to
@@ -701,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "mrr_eval": q_mrr_eval,
         "ndcg_map_eval": q_ndcg_map_eval,
+        "eval_extras": q_eval_extras,
         "event_window_counts": q_event_window_counts,
     }
 
@@ -1079,6 +1103,65 @@ shc AS (SELECT id, shingle FROM sh WHERE shingle <> '')
 """
 
 
+def _eval_extras_sql() -> str:
+    first_terms = ",".join(
+        f"({qi},'{q.split()[0]}')" for qi, q in enumerate(BM25_QUERIES)
+    )
+    ks = ",".join(f"({k})" for k in EVAL_KS)
+    return (
+        _bm25_hits_prefix()
+        + f""",
+ft(query_id, term) AS (VALUES {first_terms}),
+qrels AS (
+  SELECT ft.query_id, p.doc_id
+  FROM ft JOIN post p USING (term) WHERE p.tf >= 2
+),
+nq AS (SELECT count(DISTINCT query_id)::DOUBLE AS n FROM qrels),
+ks(k) AS (VALUES {ks}),
+topk AS (SELECT query_id, doc_id, rank FROM hits WHERE rank <= {TOPK}),
+judged AS (SELECT DISTINCT query_id, doc_id FROM qrels),
+mtk AS (
+  SELECT t.query_id, t.rank FROM topk t JOIN judged USING (query_id, doc_id)
+),
+acc AS (
+  SELECT k, count(DISTINCT query_id)::DOUBLE / (SELECT n FROM nq) AS a
+  FROM ks, mtk WHERE rank <= k GROUP BY k
+),
+nrel AS (SELECT query_id, count(*)::DOUBLE AS n_rel FROM qrels GROUP BY query_id),
+hitc AS (
+  SELECT k, m.query_id, count(*)::DOUBLE AS n_hit
+  FROM ks, mtk m WHERE m.rank <= k GROUP BY k, m.query_id
+),
+qk AS (SELECT k, query_id, n_rel FROM ks, nrel),
+rcap AS (
+  SELECT qk.k, sum(coalesce(h.n_hit, 0) / least(qk.k, qk.n_rel))
+           / (SELECT n FROM nq) AS r
+  FROM qk LEFT JOIN hitc h ON h.k = qk.k AND h.query_id = qk.query_id
+  GROUP BY qk.k
+),
+unj AS (
+  SELECT t.query_id, t.rank FROM topk t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM judged j
+    WHERE j.query_id = t.query_id AND j.doc_id = t.doc_id
+  )
+),
+hole AS (
+  SELECT k, count(*)::DOUBLE / (k * (SELECT n FROM nq)) AS h
+  FROM ks, unj WHERE rank <= k GROUP BY k
+)
+SELECT ks.k::BIGINT AS k,
+       round(coalesce(acc.a, 0), 9) AS acc_r,
+       round(coalesce(rcap.r, 0), 9) AS rcap_r,
+       round(coalesce(hole.h, 0), 9) AS hole_r
+FROM ks
+LEFT JOIN acc USING (k)
+LEFT JOIN rcap ON rcap.k = ks.k
+LEFT JOIN hole ON hole.k = ks.k
+"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     pre = _sql_prefix()          # BM25 family: full corpus, dups kept
     pre_d = _sql_prefix(dedup=True)  # near-dup operators: exact-deduped docs
@@ -1367,6 +1450,7 @@ GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
     sqls["dedup_clusters"] = _dedup_clusters_sql()
     sqls["mrr_eval"] = _mrr_eval_sql()
     sqls["ndcg_map_eval"] = _ndcg_map_eval_sql()
+    sqls["eval_extras"] = _eval_extras_sql()
 
     # image_hash_pairs: DuckDB joins the driver-side numpy reference hashes
     # (written by _image_hash_fixture for the driver's oracle SF) and must
