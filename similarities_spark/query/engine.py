@@ -188,11 +188,7 @@ class BM25QueryEngine:
         the estimated candidate volume of the fattest query exceeds
         ``cfg.fan_out_threshold`` postings."""
         cfg = self.cfg
-        avgdl = self.index.avgdl
-        n_docs = self.index.n_docs
-        k1, b, k = cfg.k1, cfg.b, topn
-        prune = cfg.score_mode == "wand"
-        variant, delta = cfg.variant, cfg.resolved_delta()
+        variant = cfg.variant
         if variant not in ("okapi", "bm25l"):
             fan_out = None
 
