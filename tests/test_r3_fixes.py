@@ -325,6 +325,46 @@ def test_compact_merges_segments_and_preserves_results(spark, tmp_path):
     assert compacted.meta["total_tokens"] == idx.meta["total_tokens"]
 
 
+def test_merge_after_compact_equals_full_rebuild(spark, tmp_path):
+    """Compaction rewrites salt ranges from the grown corpus; a subsequent
+    incremental merge must still produce EXACTLY the scores of one bulk
+    build over every doc (the invariant all ingest paths share)."""
+    from similarities_spark.index.build import BM25IndexBuilder
+
+    cfg = EngineConfig(num_term_buckets=4, block_size=16)
+    builder = BM25IndexBuilder(spark, cfg)
+    parts = [
+        spark.createDataFrame(synth_webtext_pandas(n_docs=40, seed=s))
+        for s in (51, 52, 53)
+    ]
+    idx_dir = str(tmp_path / "i")
+    builder.build(parts[0], idx_dir, input_desc="b")
+    builder.merge_new_docs(parts[1], idx_dir)
+    builder.compact(idx_dir)
+    idx = builder.merge_new_docs(parts[2], idx_dir)
+
+    # bulk baseline over the SAME accumulated corpus (merge drops new docs
+    # whose text already exists, so rebuild from the merged docs table).
+    # doc ids may renumber — score multisets are id-assignment-agnostic.
+    all_docs = idx.docs().select(
+        "url",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        "text",
+        F.lit("en").alias("lang"),
+    )
+    full = builder.build(all_docs, str(tmp_path / "full"), input_desc="full")
+
+    q = ["data web w0003", "the of and"]
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["score"]) for r in rows
+    )
+    merged_hits = key(BM25QueryEngine(idx).search(q, topn=8).collect())
+    full_hits = key(BM25QueryEngine(full).search(q, topn=8).collect())
+    # doc ids may renumber between paths; ranks and exact scores must match
+    assert merged_hits == full_hits
+
+
 def test_compact_swap_rolls_forward_after_crash(spark, tmp_path):
     import os as _os
     import json as _json
