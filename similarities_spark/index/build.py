@@ -870,10 +870,16 @@ class BM25IndexBuilder:
         one, a blocks.swap.json marker is committed, and the two renames
         roll forward on the next open if interrupted (_finish_blocks_swap).
         term_stats/meta are unchanged by construction (same postings, same
-        df/idf/N) except salt_per_range and a compaction record."""
-        cfg = self.cfg
+        df/idf/N) except salt_per_range and a compaction record.
+
+        Layout comes from the INDEX's stored config, not the builder's: the
+        query engine prunes partitions with meta's num_term_buckets and
+        filters with its tokenizer config, so re-bucketing under a
+        different builder cfg would silently break pruning. Compaction
+        never changes semantics — only segment layout."""
         t0 = time.time()
         idx = BM25Index(self.spark, index_dir)  # rolls forward pending work
+        cfg = idx.config()
         n_docs = idx.n_docs
 
         # blocks -> postings rows, Arrow-batched; column-pruned scan

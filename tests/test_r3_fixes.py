@@ -365,6 +365,33 @@ def test_merge_after_compact_equals_full_rebuild(spark, tmp_path):
     assert merged_hits == full_hits
 
 
+def test_compact_uses_index_config_not_builder_config(spark, tmp_path):
+    """A builder holding a DIFFERENT num_term_buckets than the index was
+    built with must not re-bucket on compact — the query engine prunes
+    with meta's bucket count, so that would silently break pruning."""
+    from similarities_spark.index.build import BM25IndexBuilder
+
+    df = spark.createDataFrame(synth_webtext_pandas(n_docs=50, seed=45))
+    idx_dir = str(tmp_path / "i")
+    idx = BM25IndexBuilder(
+        spark, EngineConfig(num_term_buckets=4)
+    ).build(df, idx_dir, input_desc="b")
+    hits_before = BM25QueryEngine(idx).search(["data web"], topn=5).collect()
+
+    rogue = BM25IndexBuilder(spark, EngineConfig(num_term_buckets=13))
+    compacted = rogue.compact(idx_dir)
+    buckets = {
+        int(r["bucket"])
+        for r in compacted.blocks().select("bucket").distinct().collect()
+    }
+    assert buckets <= set(range(4))  # still the index's 4-bucket layout
+    hits_after = BM25QueryEngine(compacted).search(["data web"], topn=5).collect()
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows
+    )
+    assert key(hits_after) == key(hits_before)
+
+
 def test_compact_swap_rolls_forward_after_crash(spark, tmp_path):
     import os as _os
     import json as _json
