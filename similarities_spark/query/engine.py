@@ -118,17 +118,18 @@ class BM25QueryEngine:
         # populated on first use when fan_out_target_task_s is set
         self.last_calibration: Optional[dict] = None
         self._resolved_fan_out_threshold: Optional[int] = None
-        # the one cached DF per search (scored): kept alive while the caller
-        # materializes the returned hits, released on the NEXT search (or
-        # close()) — a long-lived session issuing thousands of batches must
-        # not accumulate block-manager entries until LRU churn
-        self._live_scored: Optional[DataFrame] = None
+        # the cached DFs of the CURRENT search (scored + the pad summary):
+        # kept alive while the caller materializes the returned hits,
+        # released on the NEXT search (or close()) — a long-lived session
+        # issuing thousands of batches must not accumulate block-manager
+        # entries until LRU churn
+        self._live_cached: list = []
 
     def close(self) -> None:
-        """Release the engine's cached intermediate (idempotent)."""
-        if self._live_scored is not None:
-            self._live_scored.unpersist()
-            self._live_scored = None
+        """Release the engine's cached intermediates (idempotent)."""
+        for df in self._live_cached:
+            df.unpersist()
+        self._live_cached = []
 
     def fan_out_threshold(self) -> Optional[int]:
         """Effective auto-fan-out threshold: the configured posting count,
@@ -432,9 +433,9 @@ class BM25QueryEngine:
         DataFrame, never a driver-side literal, so batches of millions of
         queries collect only ONE scalar row (flag count + max matched) —
         needed to size the low-doc-id pad pool and pick the fast path."""
-        self.close()  # release the previous search's cache before persisting
+        self.close()  # release the previous search's caches before persisting
         scored = scored.persist()
-        self._live_scored = scored
+        self._live_cached.append(scored)
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
@@ -464,6 +465,7 @@ class BM25QueryEngine:
             )
             .persist()
         )
+        self._live_cached.append(pad_q)  # released with scored on next search
         # the ONLY driver values: does any query need padding, and how many
         # matched rows can a padded query already hold (sizes the pad pool)
         g = pad_q.agg(
@@ -473,6 +475,7 @@ class BM25QueryEngine:
 
         if n_pad == 0:
             pad_q.unpersist()
+            self._live_cached.remove(pad_q)
             return (
                 scored.select("query_id", "doc_id", "score")
                 .withColumn("rank", F.row_number().over(w))

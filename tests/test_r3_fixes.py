@@ -169,7 +169,11 @@ def test_search_does_not_accumulate_cached_rdds(spark, tmp_path):
 
     counts = []
     for i in range(12):
-        engine.search([f"data web w{i % 7:04d}", "of the and"], topn=5).collect()
+        # second query has no indexed terms -> exercises the PADDING branch
+        # (which caches a second DF, pad_q) on every iteration
+        engine.search(
+            [f"data web w{i % 7:04d}", "zzzunknownterm qqq"], topn=5
+        ).collect()
         counts.append(jsc.getPersistentRDDs().size())
     # steady state: each search releases the previous search's cache, so the
     # persistent-RDD count must not grow monotonically across searches
