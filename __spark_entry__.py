@@ -612,7 +612,14 @@ def _image_hash_fixture(sf_dir: str) -> str:
 
     from similarities_spark.functions import multimodal as mm
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    # cache key includes the source parquet's (mtime, size) so regenerating
+    # testdata in place invalidates the fixture instead of silently serving
+    # stale reference hashes (ADVICE r3)
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"ss_imghash_{key}.parquet")
     if os.path.exists(path):
         return path
@@ -1032,8 +1039,11 @@ def _dedup_clusters_sql() -> str:
         + """,
 sizes AS (SELECT id, count(*)::BIGINT AS n_sh FROM shc GROUP BY id),
 inter AS (
+  -- shj mirrors the engine's max_shingle_docs=1000 candidate cap
+  -- (_cap_buckets): intersections count only under-cap shingles, while
+  -- sizes below stay uncapped — exactly dedup.ngram_jaccard_pairs.
   SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS i
-  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+  FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY a.id, b.id
 ),
 pairs AS (
@@ -1099,7 +1109,9 @@ sh AS (
   )) AS shingle
   FROM tokl
 ),
-shc AS (SELECT id, shingle FROM sh WHERE shingle <> '')
+shc AS (SELECT id, shingle FROM sh WHERE shingle <> ''),
+shcap AS (SELECT shingle FROM shc GROUP BY shingle HAVING count(*) <= 1000),
+shj AS (SELECT shc.id, shc.shingle FROM shc JOIN shcap USING (shingle))
 """
 
 
@@ -1232,8 +1244,11 @@ GROUP BY 1, 2
         + """,
 sizes AS (SELECT id, count(*)::BIGINT AS n_sh FROM shc GROUP BY id),
 inter AS (
+  -- shj mirrors the engine's max_shingle_docs=1000 candidate cap
+  -- (_cap_buckets): intersections count only under-cap shingles, while
+  -- sizes below stay uncapped — exactly dedup.ngram_jaccard_pairs.
   SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS i
-  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.id < b.id
+  FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.id < b.id
   GROUP BY a.id, b.id
 )
 SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b,
@@ -1454,8 +1469,12 @@ GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
 
     # image_hash_pairs: DuckDB joins the driver-side numpy reference hashes
     # (written by _image_hash_fixture for the driver's oracle SF) and must
-    # reproduce Spark's bit_count(xor) pair table bit-for-bit
-    fixture = _image_hash_fixture("/root/testdata/sf0.01")
+    # reproduce Spark's bit_count(xor) pair table bit-for-bit. The SF dir
+    # the driver compares at is overridable so verifying at another scale
+    # doesn't silently read sf0.01 reference hashes (ADVICE r3).
+    fixture = _image_hash_fixture(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    )
     sqls["image_hash_pairs"] = f"""
 WITH h AS (SELECT * FROM read_parquet('{fixture}'))
 SELECT a.media_id::BIGINT AS id_a, b.media_id::BIGINT AS id_b,

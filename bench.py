@@ -22,8 +22,12 @@ Informational keys (NOT in the total):
   fat_query : single fattest-term query latency with auto doc-range fan-out
               engaged vs forced off, incl. the kernel-rate-derived threshold.
   docs_per_sec, queries_per_sec, n_docs.
+  quiet_gate  : present when --require-quiet GBPS was given — the bench
+              probed memcpy bandwidth and slept until a window cleared the
+              bar (or the --quiet-timeout expired; `met` records which).
 """
 
+import argparse
 import json
 import os
 import shutil
@@ -32,7 +36,51 @@ import tempfile
 import time
 
 
+def wait_for_quiet_window(probe, threshold_gbps, timeout_s, interval_s, log=sys.stderr):
+    """Block until the single-thread memcpy probe clears `threshold_gbps`.
+
+    The host is multi-tenant: DRAM bandwidth swings 2-20 GB/s between
+    minutes. A headline wall-clock number captured in a degraded window
+    understates the engine, so --require-quiet probes first and sleeps in
+    `interval_s` steps until a window clears the bar. After `timeout_s`
+    the bench runs anyway with quiet_gate.met=false — a documented failed
+    attempt is still evidence (VERDICT r3 'Next round' #1).
+    """
+    t0 = time.time()
+    attempts = []
+    while True:
+        p = probe()
+        attempts.append(p["memcpy_gbps"])
+        waited = time.time() - t0
+        met = p["memcpy_gbps"] >= threshold_gbps
+        print(
+            f"[quiet-gate] memcpy={p['memcpy_gbps']} GB/s "
+            f"(need {threshold_gbps}), waited {waited:.0f}s, "
+            f"{'MET' if met else 'degraded'}",
+            file=log,
+            flush=True,
+        )
+        if met or waited >= timeout_s:
+            return {
+                "threshold_gbps": threshold_gbps,
+                "attempts": len(attempts),
+                "probe_history_gbps": attempts[-50:],
+                "waited_s": round(waited, 1),
+                "met": met,
+            }
+        time.sleep(interval_s)
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--require-quiet", type=float, default=None, metavar="GBPS",
+                    help="probe memcpy bandwidth and wait for a window >= GBPS")
+    ap.add_argument("--quiet-timeout", type=float, default=14400.0,
+                    help="max seconds to wait for a quiet window (then run anyway)")
+    ap.add_argument("--quiet-interval", type=float, default=120.0,
+                    help="seconds between quiet-window probes")
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -40,6 +88,12 @@ def main():
     sys.path.insert(0, os.path.join(repo, "scripts"))
 
     from calib import probe
+
+    quiet_gate = None
+    if args.require_quiet is not None:
+        quiet_gate = wait_for_quiet_window(
+            probe, args.require_quiet, args.quiet_timeout, args.quiet_interval
+        )
 
     calib_pre = probe()
 
@@ -175,6 +229,8 @@ def main():
         "ab": ab,
         "fat_query": fat,
     }
+    if quiet_gate is not None:
+        out["quiet_gate"] = quiet_gate
     shutil.rmtree(idx_dir, ignore_errors=True)
     spark.stop()
     print(json.dumps(out))

@@ -92,15 +92,16 @@ class EngineConfig:
         size, bucketing, salting, postings mode) must invalidate stage and
         bucket manifests — a resume that trusted an index built under a
         different tokenizer config would serve wrong scores. Query-time-only
-        knobs (score_mode, fan_out_*, variant, delta, checkpoint_*) are
-        deliberately excluded: they never change what is on disk."""
+        knobs (score_mode, fan_out_*, variant, delta, checkpoint_*, and the
+        BM25 k1/b shape parameters) are deliberately excluded: they never
+        change what is on disk (blocks store raw tf/doc_len; term_stats idf
+        bakes in only epsilon), so a k1/b retune reuses the index instead of
+        forcing a full rebuild (ADVICE r3)."""
         import hashlib
         import json as _json
 
         payload = _json.dumps(
             {
-                "k1": self.k1,
-                "b": self.b,
                 "epsilon": self.epsilon,
                 "stopwords": sorted(self.stopwords),
                 "lowercase_stopword_match": self.lowercase_stopword_match,

@@ -4,9 +4,10 @@ Five tiers, cheapest to richest (all shuffle-on-key, no cross joins except
 where a candidate-pair generator bounds the pair set first):
 
 - exact_dedup            : hash-groupBy on full text (or fingerprint)
-- ngram_jaccard_pairs    : EXACT n-gram Jaccard via shingle inverted join
+- ngram_jaccard_pairs    : n-gram Jaccard via shingle inverted join
                            (the candidate generator IS the shingle join —
-                           only pairs sharing >=1 shingle are ever formed)
+                           only pairs sharing >=1 shingle are ever formed;
+                           exact below the boilerplate-shingle cap)
 - minhash_lsh_pairs      : MinHash banding — the 100TB-scale approximate
                            path; candidates = bucket-join on band signature
 - simhash64              : 64-bit SimHash fingerprints (near-dup hamming)
@@ -108,7 +109,12 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     max_shingle_docs: Optional[int] = 1000,
 ) -> DataFrame:
-    """EXACT n-gram Jaccard similarity for every pair sharing >=1 shingle.
+    """n-gram Jaccard similarity via shingle inverted-index self-join.
+
+    Exact for every pair whose shared shingles are all under the
+    ``max_shingle_docs`` cap (the common case — see the cap note below);
+    pass ``max_shingle_docs=None`` for unconditionally exact output at the
+    cost of a possibly quadratic join on boilerplate shingles.
 
     Plan: shingle inverted index self-join (equi-join on shingle — the
     shuffle key), count intersections per pair, then |A|+|B|-inter for the

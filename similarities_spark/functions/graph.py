@@ -7,14 +7,15 @@ connected components, then keeps one representative per component.
 
 Two algorithms, identical output (component = min reachable node id):
 
-- 'propagation' (default): iterative min-label propagation — each node
-  adopts the smallest id in its neighborhood incl. itself. One shuffle per
-  round, converges in O(diameter) rounds; dedup graphs have tiny diameters.
-- 'star': alternating large-star/small-star (Kiveris et al., "Connected
-  Components in MapReduce and Beyond", SoCC 2014) — converges in O(log d)
-  rounds, the production choice when long chains are possible (a path graph
-  of length 10^6 needs 10^6 propagation rounds but ~20 star rounds). Each
-  round is two groupBy(min) shuffles over the shrinking edge set.
+- 'star' (default): alternating large-star/small-star (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SoCC 2014) — converges in
+  O(log d) rounds, the production choice: a path graph of length 10^6 needs
+  10^6 propagation rounds but ~20 star rounds. Each round is two
+  groupBy(min) shuffles over the shrinking edge set.
+- 'propagation': iterative min-label propagation — each node adopts the
+  smallest id in its neighborhood incl. itself. One shuffle per round,
+  converges in O(diameter) rounds; fine when diameters are known-tiny,
+  kept as the parity baseline for the star mode.
 """
 
 from __future__ import annotations
@@ -29,7 +30,7 @@ def connected_components(
     max_iter: int = 20,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    algorithm: str = "propagation",
+    algorithm: str = "star",
 ) -> DataFrame:
     """pairs: (id_a, id_b) undirected edges -> (id, component) where
     component = min node id reachable. Nodes in no pair are absent
@@ -152,9 +153,8 @@ def _star_components(
     convergence every non-root node holds exactly one edge to its component
     minimum. max_iter here bounds ROUNDS (each O(log d) effective), so the
     default of 20 covers diameters up to ~2^20."""
-    edges = _canon(
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    ).localCheckpoint(eager=True)
+    raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = _canon(raw).localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iter):
         # localCheckpoint per round: same lineage-truncation requirement as
@@ -168,6 +168,17 @@ def _star_components(
         if diff == 0:
             converged = True
             break
+    if not converged and max_iter > 0:
+        # stability is only OBSERVABLE one round after the last change, so
+        # a graph whose final change lands exactly on round max_iter would
+        # warn spuriously — run one confirming round before warning
+        final = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        diff = (
+            final.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(final).limit(1).count()
+        )
+        edges = final
+        converged = diff == 0
     if not converged:
         warnings.warn(
             f"star connected_components did not stabilize in {max_iter} "
@@ -183,10 +194,19 @@ def _star_components(
         .join(edges.select(F.col("u").alias("id")).distinct(), "id", "left_anti")
         .select("id", F.col("id").alias("comp"))
     )
-    return (
-        edges.select(F.col("u").alias("id"), F.col("v").alias("comp"))
-        .unionByName(roots)
+    labels = edges.select(F.col("u").alias("id"), F.col("v").alias("comp")).unionByName(
+        roots
     )
+    # parity with propagation mode: a node whose only pair is a self-loop
+    # is dropped by _canon but is still a (singleton) graph member
+    self_only = (
+        raw.filter(F.col("u") == F.col("v"))
+        .select(F.col("u").alias("id"))
+        .distinct()
+        .join(labels.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("comp"))
+    )
+    return labels.unionByName(self_only)
 
 
 def dedup_keep_representatives(

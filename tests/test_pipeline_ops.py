@@ -520,13 +520,24 @@ def test_connected_components_warns_on_max_iter_exhaustion(spark):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        comps = graph.connected_components(pairs, max_iter=2).collect()
+        comps = graph.connected_components(
+            pairs, max_iter=2, algorithm="propagation"
+        ).collect()
         assert any("max_iter" in str(x.message) for x in w)
     assert len({r["comp"] for r in comps}) > 1  # genuinely unconverged
 
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        comps = graph.connected_components(pairs, max_iter=20).collect()
+        comps = graph.connected_components(
+            pairs, max_iter=20, algorithm="propagation"
+        ).collect()
+        assert not any("max_iter" in str(x.message) for x in w)
+    assert {r["comp"] for r in comps} == {0}
+
+    # the default (star) resolves the same chain well inside max_iter=20
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        comps = graph.connected_components(pairs).collect()
         assert not any("max_iter" in str(x.message) for x in w)
     assert {r["comp"] for r in comps} == {0}
 

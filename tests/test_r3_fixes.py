@@ -46,7 +46,7 @@ def test_star_converges_where_propagation_exhausts(spark):
     chain = [(i, i + 1) for i in range(29)]
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
     with pytest.warns(RuntimeWarning, match="max_iter"):
-        prop = graph.connected_components(pairs, max_iter=5)
+        prop = graph.connected_components(pairs, max_iter=5, algorithm="propagation")
     assert len({c for _, c in _labels(prop)}) > 1  # split, as warned
     star = graph.connected_components(pairs, max_iter=5, algorithm="star")
     got = _labels(star)
@@ -56,9 +56,63 @@ def test_star_converges_where_propagation_exhausts(spark):
 def test_propagation_max_iter_zero_no_nameerror(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.warns(RuntimeWarning, match="max_iter"):
-        out = graph.connected_components(pairs, max_iter=0)
+        out = graph.connected_components(
+            pairs, max_iter=0, algorithm="propagation"
+        )
     # unconverged-but-valid initial labels, not a NameError
     assert {int(r["id"]) for r in out.collect()} == {1, 2}
+
+
+def test_star_self_loop_singleton_parity(spark):
+    # a node whose only pair is a self-loop must appear as a singleton
+    # component in BOTH modes (star used to drop it via _canon)
+    pairs = spark.createDataFrame(
+        [(1, 2), (7, 7), (2, 2)], "id_a long, id_b long"
+    )
+    for algo in ("propagation", "star"):
+        got = sorted(
+            (int(r["id"]), int(r["comp"]))
+            for r in graph.connected_components(pairs, algorithm=algo).collect()
+        )
+        assert got == [(1, 1), (2, 1), (7, 7)], algo
+
+
+def test_star_no_spurious_warning_at_exact_convergence_round(spark):
+    # a graph whose LAST PRODUCTIVE round lands exactly on max_iter used to
+    # warn spuriously (stability is only observable one round later); the
+    # post-loop confirming round must suppress that warning
+    import warnings as w
+
+    from pyspark.sql import functions as F
+
+    chain = [(i, i + 1) for i in range(29)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    # count productive rounds P by running the star kernels directly
+    edges = graph._canon(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    ).localCheckpoint(eager=True)
+    productive = 0
+    for _ in range(30):
+        after = graph._small_star(graph._large_star(edges)).localCheckpoint(
+            eager=True
+        )
+        if (
+            after.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(after).limit(1).count()
+            == 0
+        ):
+            break
+        edges = after
+        productive += 1
+    assert 0 < productive < 30
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        out = graph.connected_components(
+            pairs, max_iter=productive, algorithm="star"
+        )
+        labels = sorted((int(r["id"]), int(r["comp"])) for r in out.collect())
+        assert labels == [(i, 0) for i in range(30)]
+        assert not any("max_iter" in str(x.message) for x in rec)
 
 
 # ---------- ngram jaccard: head-shingle cap ----------
@@ -155,6 +209,13 @@ def test_config_index_key_stability():
     # query-time-only knobs do NOT invalidate the on-disk index
     e = EngineConfig(variant="bm25l", fan_out_threshold=None)
     assert e.index_key() == EngineConfig().index_key()
+    # k1/b shape a QUERY-TIME formula over stored raw tf/doc_len — a retune
+    # must reuse the index, not rebuild it (ADVICE r3); epsilon is baked
+    # into stored idf so it still invalidates
+    f = EngineConfig(k1=2.0, b=0.5)
+    assert f.index_key() == EngineConfig().index_key()
+    g = EngineConfig(epsilon=0.5)
+    assert g.index_key() != EngineConfig().index_key()
 
 
 # ---------- query cache release ----------
