@@ -18,6 +18,8 @@ import os
 import tempfile
 from collections.abc import Callable
 
+import pandas as pd  # module-level: pandas_udf resolves string type hints here
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -610,6 +612,7 @@ def _image_hash_fixture(sf_dir: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from similarities_spark.functions import mediacodec
     from similarities_spark.functions import multimodal as mm
 
     # cache key includes the source parquet's (mtime, size) so regenerating
@@ -633,7 +636,10 @@ def _image_hash_fixture(sf_dir: str) -> str:
     )
     out = {"media_id": [], "ahash": [], "dhash": [], "phash": []}
     for doc_id, text in rows:
-        img = mm._fake_decode_image((text or "").encode("utf-8"))
+        # pixels_from_bytes == decode_png(png_from_bytes(..)) (lossless
+        # round-trip), so these reference hashes match the Spark side's
+        # real-PNG decode path bit-for-bit
+        img = mediacodec.pixels_from_bytes((text or "").encode("utf-8"))
         out["media_id"].append(doc_id)
         out["ahash"].append(mm._bits_to_i64(mm.ahash_bits(img)))
         out["dhash"].append(mm._bits_to_i64(mm.dhash_bits(img)))
@@ -647,20 +653,33 @@ def _image_hash_fixture(sf_dir: str) -> str:
 
 
 def q_image_hash_pairs(spark, sf_dir):
-    """Perceptual-hash near-dup pair stage: Spark computes the hashes
-    (mapInPandas over binary payloads) AND the all-pairs hamming table;
-    DuckDB reproduces the pair table from driver-side numpy reference
-    hashes (_image_hash_fixture), so the relational stage is fully oracled
-    and any Spark/numpy hash divergence also fails the match."""
+    """Perceptual-hash near-dup pair stage: Spark encodes each doc's
+    derived image as a REAL PNG payload, decodes it back in the hash kernel
+    (stdlib PNG codec — the full binary-column production path), and builds
+    the all-pairs hamming table; DuckDB reproduces the pair table from
+    driver-side numpy reference hashes (_image_hash_fixture), so the
+    relational stage is fully oracled and any codec/hash divergence between
+    the Spark path and the driver-side reference also fails the match."""
+    from pyspark.sql.types import BinaryType
+
     from similarities_spark.functions import multimodal
 
     _image_hash_fixture(sf_dir)  # make sure the oracle input exists
+
+    @F.pandas_udf(BinaryType())
+    def to_png(texts: pd.Series) -> pd.Series:
+        from similarities_spark.functions import mediacodec
+
+        return texts.map(
+            lambda t: mediacodec.png_from_bytes((t or "").encode("utf-8"))
+        )
+
     hashes = multimodal.image_hashes(
         _docs(spark, sf_dir)
         .filter(F.col("doc_id") < IMAGE_HASH_DOCS)
         .select(
             F.col("doc_id").alias("media_id"),
-            F.encode(F.col("text"), "UTF-8").alias("payload"),
+            to_png(F.col("text")).alias("payload"),
         )
     )
     return multimodal.image_hash_hamming_pairs(hashes).select(

@@ -1,0 +1,218 @@
+"""Stdlib-only media codecs: PNG (zlib + numpy) and WAV PCM (wave).
+
+No external image/audio libraries ship in this container, but neither
+format needs one: PNG's container is length-prefixed chunks with a zlib
+stream of filtered scanlines (public spec, RFC 2083 / W3C PNG), and WAV
+PCM is handled by the stdlib ``wave`` module. These codecs make the
+multimodal operators (image_features, image_hashes, audio_features) decode
+REAL bytes end-to-end instead of deriving fake pixels from the payload.
+
+Scope — the cases a synthetic/media-hash pipeline needs, rejected loudly
+otherwise:
+- PNG decode: 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA),
+  non-interlaced, all five scanline filters. Output is always H x W x 3
+  uint8 (gray replicated, alpha dropped) — the contract the hash kernels
+  (multimodal.ahash_bits et al.) consume.
+- PNG encode: H x W x 3 uint8 -> filter-0 scanlines. Lossless, so
+  encode->decode round-trips bit-exactly (property-tested).
+- WAV: 8/16/32-bit integer PCM, any channel count; decoded to float64 in
+  [-1, 1), channel-averaged to mono.
+
+The deterministic generators at the bottom (pixels_from_bytes,
+png_from_bytes, wav_from_bytes) produce seeded synthetic media payloads
+from arbitrary bytes — the data-generation side of the same contract, used
+by sources/synth.py and the driver oracle fixtures. pixels_from_bytes keeps
+the exact derivation the pre-r4 fake decoder used, so image-hash oracle
+values are unchanged while the decode path is now a real PNG round-trip.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS_BY_COLOR_TYPE = {0: 1, 2: 3, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter_scanline(
+    ftype: int, line: np.ndarray, prev: np.ndarray, ch: int
+) -> np.ndarray:
+    """Reverse one PNG scanline filter. `line` and `prev` are uint8 arrays
+    of stride w*ch; uint8 arithmetic wraps mod 256, which is exactly the
+    spec's semantics."""
+    if ftype == 0:  # None
+        return line
+    if ftype == 2:  # Up
+        return line + prev
+    if ftype == 1:  # Sub: recon[i] = line[i] + recon[i-ch] — per-channel
+        # prefix dependency == per-channel cumulative sum mod 256
+        out = line.reshape(-1, ch).astype(np.uint64).cumsum(axis=0)
+        return (out % 256).astype(np.uint8).reshape(-1)
+    out = np.zeros_like(line)
+    if ftype == 3:  # Average
+        for i in range(line.size):
+            left = int(out[i - ch]) if i >= ch else 0
+            out[i] = (int(line[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        return out
+    if ftype == 4:  # Paeth
+        for i in range(line.size):
+            left = int(out[i - ch]) if i >= ch else 0
+            upleft = int(prev[i - ch]) if i >= ch else 0
+            out[i] = (int(line[i]) + _paeth(left, int(prev[i]), upleft)) & 0xFF
+        return out
+    raise ValueError(f"PNG: unknown scanline filter type {ftype}")
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> H x W x 3 uint8 pixel array (stdlib zlib + numpy)."""
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # 4 length + 4 type + data + 4 crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG: missing IHDR or IDAT chunk")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"PNG: unsupported (depth={depth}, interlace={interlace}) — "
+            "only 8-bit non-interlaced streams are handled"
+        )
+    if color_type not in _CHANNELS_BY_COLOR_TYPE:
+        raise ValueError(f"PNG: unsupported color type {color_type}")
+    ch = _CHANNELS_BY_COLOR_TYPE[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG: decompressed size does not match dimensions")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(raw, np.uint8, stride, off + 1).copy()
+        prev = _unfilter_scanline(ftype, line, prev, ch)
+        out[y] = prev
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3].copy()
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray, compress_level: int = 6) -> bytes:
+    """H x W x 3 uint8 -> PNG bytes (color type 2, filter 0 scanlines)."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_png expects an H x W x 3 uint8 array")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    scan = np.concatenate(
+        [np.zeros((h, 1), np.uint8), img.reshape(h, w * 3)], axis=1
+    )
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(scan.tobytes(), compress_level))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_wav(payload: bytes) -> tuple:
+    """WAV PCM bytes -> (mono float64 samples in [-1, 1), sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n_ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        rate = wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+    if width == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif width == 1:  # 8-bit WAV is unsigned
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"WAV: unsupported sample width {width} bytes")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """float samples in [-1, 1] -> 16-bit mono PCM WAV bytes."""
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = (pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic-media generators (seeded from arbitrary bytes)
+
+
+def pixels_from_bytes(data: bytes) -> np.ndarray:
+    """Deterministic pseudo-image (H x W x 3 uint8) derived from arbitrary
+    bytes — dimensions from byte sums, pixels from a seeded RNG. This is
+    the exact derivation the pre-r4 fake decoder used, preserved so media
+    payloads regenerated as real PNGs hash to the same oracle values."""
+    h = (sum(data[:16]) % 48) + 16 if data else 16
+    w = (sum(data[16:32]) % 48) + 16 if len(data) > 16 else 16
+    seed = int.from_bytes(data[:8].ljust(8, b"\0"), "little") % (2**32)
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def png_from_bytes(data: bytes) -> bytes:
+    """Arbitrary bytes -> real PNG payload of the derived pseudo-image."""
+    return encode_png(pixels_from_bytes(data))
+
+
+def wav_from_bytes(
+    data: bytes, sample_rate: int = 8000, max_samples: int = 4000
+) -> bytes:
+    """Arbitrary bytes -> real WAV payload: a seeded sine + noise mixture
+    whose length/frequency/amplitude derive from the bytes."""
+    seed = int.from_bytes(data[:8].ljust(8, b"\0"), "little") % (2**32)
+    rng = np.random.RandomState(seed)
+    n = 400 + (int.from_bytes(data[8:12].ljust(4, b"\0"), "little") % max_samples)
+    freq = 100.0 + (seed % 1900)
+    t = np.arange(n, dtype=np.float64) / sample_rate
+    x = 0.6 * np.sin(2 * np.pi * freq * t) + 0.1 * rng.randn(n)
+    return encode_wav(x, sample_rate)

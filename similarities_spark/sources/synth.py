@@ -148,3 +148,43 @@ def synth_webtext_distributed(spark, n_docs: int, seed: int = 42, partitions: in
 
     base = spark.range(partitions).repartition(partitions, "id")
     return spark.createDataFrame(base.rdd.flatMap(lambda r: gen([r])), schema)
+
+
+def synth_media_pandas(n_rows: int = 50, seed: int = 42, frames_max: int = 6):
+    """Deterministic synthetic media table with REAL payloads:
+        (media_id:int64, image:binary PNG, audio:binary WAV PCM,
+         video:binary concatenated-PNG frame stream)
+    Each payload derives from a seeded per-row key via the stdlib codecs in
+    functions/mediacodec.py, so tests and oracles can re-derive the exact
+    bytes driver-side with no media libraries."""
+    from similarities_spark.functions import mediacodec as mc
+
+    rows = {"media_id": [], "image": [], "audio": [], "video": []}
+    for i in range(n_rows):
+        key = f"{seed}|{i}".encode("utf-8")
+        rows["media_id"].append(i)
+        rows["image"].append(mc.png_from_bytes(key))
+        rows["audio"].append(mc.wav_from_bytes(key))
+        n_frames = 1 + (i % frames_max)
+        rows["video"].append(
+            b"".join(
+                mc.png_from_bytes(key + b"|frame|%d" % f)
+                for f in range(n_frames)
+            )
+        )
+    return pd.DataFrame(rows)
+
+
+def synth_media_df(spark, n_rows: int = 50, seed: int = 42, **kw):
+    from pyspark.sql.types import BinaryType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("image", BinaryType()),
+            StructField("audio", BinaryType()),
+            StructField("video", BinaryType()),
+        ]
+    )
+    pdf = synth_media_pandas(n_rows=n_rows, seed=seed, **kw)
+    return spark.createDataFrame(pdf, schema)

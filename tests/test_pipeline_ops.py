@@ -147,36 +147,117 @@ def test_lexicon_sentence_sim(spark):
 # ---------------------------------------------------------------- multimodal
 
 
-def test_image_features_plumbing(spark):
-    rows = [(i, bytes([i] * 64)) for i in range(10)]
+def test_image_features_real_png(spark):
+    import numpy as np
+
+    from similarities_spark.functions import mediacodec as mc
+
+    rng = np.random.RandomState(5)
+    imgs = [
+        rng.randint(0, 256, size=(16 + i, 20 + 2 * i, 3), dtype=np.uint8)
+        for i in range(10)
+    ]
+    rows = [(i, mc.encode_png(img)) for i, img in enumerate(imgs)]
     df = spark.createDataFrame(rows, "media_id long, payload binary")
-    out = multimodal.image_features(df, emb_dim=8).collect()
+    out = {r["media_id"]: r for r in multimodal.image_features(df, emb_dim=8).collect()}
     assert len(out) == 10
-    for r in out:
-        assert r["width"] >= 16 and r["height"] >= 16
-        assert len(r["embedding"]) == 8
-    # deterministic: same payload -> same embedding
-    out2 = multimodal.image_features(df, emb_dim=8).collect()
-    assert {r["media_id"]: r["embedding"] for r in out} == {
-        r["media_id"]: r["embedding"] for r in out2
-    }
+    for i, img in enumerate(imgs):
+        # REAL decode: reported dims are the PNG's actual dims
+        assert out[i]["height"] == img.shape[0]
+        assert out[i]["width"] == img.shape[1]
+        assert len(out[i]["embedding"]) == 8
+        # first feature = mean of the first gray block, recomputable exactly
+        flat = img.astype(np.float64).mean(axis=2).ravel()
+        exp0 = np.array_split(flat, 8)[0].mean()
+        assert abs(out[i]["embedding"][0] - exp0) < 1e-3
 
 
-def test_frame_sample_plumbing(spark):
+def test_frame_sample_decodes_png_stream(spark):
+    import hashlib
+
+    import numpy as np
+
+    from similarities_spark.functions import mediacodec as mc
+
+    rng = np.random.RandomState(9)
+    frames = [
+        rng.randint(0, 256, size=(12, 10, 3), dtype=np.uint8) for _ in range(9)
+    ]
+    video = b"".join(mc.encode_png(f) for f in frames)
+    single = mc.encode_png(frames[0])
     df = spark.createDataFrame(
-        [(0, bytes(range(256)) * 3), (1, b"xy")], "media_id long, payload binary"
+        [(0, video), (1, single)], "media_id long, payload binary"
     )
     rows = multimodal.frame_sample(df, every_n=4).collect()
     by_id = {}
     for r in rows:
-        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
-    assert sorted(by_id[0]) == list(range(0, 768 // 64, 4))
-    assert by_id[1] == [0]
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert sorted(r["frame_idx"] for r in by_id[0]) == [0, 4, 8]
+    assert [r["frame_idx"] for r in by_id[1]] == [0]
+    # fingerprints come from DECODED pixels, not compressed bytes
+    for r in by_id[0]:
+        exp = hashlib.md5(frames[r["frame_idx"]].tobytes()).hexdigest()[:16]
+        assert r["frame_fp"] == exp
+        assert (r["width"], r["height"]) == (10, 12)
 
 
-def test_audio_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        multimodal._decode_audio(b"riff")
+def test_audio_features_real_wav(spark):
+    import numpy as np
+
+    from similarities_spark.functions import mediacodec as mc
+
+    rate = 8000
+    t = np.arange(2000) / rate
+    clips = {
+        0: 0.5 * np.sin(2 * np.pi * 440 * t),  # pure tone
+        1: np.zeros(1000),  # silence
+        2: np.tile([0.25, -0.25], 600),  # max zero-crossing square-ish
+    }
+    df = spark.createDataFrame(
+        [(i, mc.encode_wav(x, rate)) for i, x in clips.items()],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in multimodal.audio_features(df).collect()}
+    assert out[0]["sample_rate"] == rate and out[0]["n_samples"] == 2000
+    assert abs(out[0]["duration_s"] - 0.25) < 1e-9
+    assert abs(out[0]["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(out[0]["peak"] - 0.5) < 1e-3
+    assert out[1]["rms"] == 0.0 and out[1]["zero_cross_rate"] == 0.0
+    assert out[2]["zero_cross_rate"] > 0.99
+
+
+def test_decode_rejects_unknown_magic():
+    with pytest.raises(ValueError, match="image payload"):
+        multimodal.decode_image(b"JFIF....")
+    with pytest.raises(ValueError, match="audio payload"):
+        multimodal.decode_audio(b"OggS....")
+
+
+def test_synth_media_payloads_are_real(spark):
+    from similarities_spark.functions import mediacodec as mc
+    from similarities_spark.sources.synth import synth_media_df
+
+    df = synth_media_df(spark, n_rows=6, seed=3)
+    rows = df.collect()
+    assert len(rows) == 6
+    for r in rows:
+        img = mc.decode_png(bytes(r["image"]))
+        assert img.ndim == 3 and img.shape[2] == 3
+        x, rate = mc.decode_wav(bytes(r["audio"]))
+        assert rate == 8000 and x.size >= 400
+    # the media table drives all three operators end-to-end
+    feats = multimodal.image_features(
+        df.select("media_id", F.col("image").alias("payload"))
+    )
+    assert feats.count() == 6
+    au = multimodal.audio_features(
+        df.select("media_id", F.col("audio").alias("payload"))
+    )
+    assert au.count() == 6
+    fr = multimodal.frame_sample(
+        df.select("media_id", F.col("video").alias("payload")), every_n=2
+    )
+    assert fr.count() >= 6
 
 
 # ----------------------------------------------------------------- streaming
@@ -448,10 +529,14 @@ def test_image_hash_properties():
 
 
 def test_image_hashes_spark_operator(spark):
-    from pyspark.sql import functions as F
+    from similarities_spark.functions import mediacodec as mc
 
     df = spark.createDataFrame(
-        [(0, b"hello world"), (1, b"hello world"), (2, b"another payload x")],
+        [
+            (0, mc.png_from_bytes(b"hello world")),
+            (1, mc.png_from_bytes(b"hello world")),
+            (2, mc.png_from_bytes(b"another payload x")),
+        ],
         "media_id long, payload binary",
     )
     rows = {r["media_id"]: r for r in multimodal.image_hashes(df).collect()}
