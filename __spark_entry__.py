@@ -711,6 +711,24 @@ def q_lsh_cosine_topk(spark, sf_dir):
     )
 
 
+def q_lsh_candidates(spark, sf_dir):
+    """The deterministic candidate-generation prefix of lsh_cosine_topk:
+    distinct (qid, vec_id, tbl) bucket/multi-probe hits. The hyperplanes
+    are a pure function of (dim, n_planes, seed), so the DuckDB oracle
+    regenerates them driver-side and replicates the whole stage — leaving
+    only the final approximate ranking (lsh_cosine_topk) rows-only
+    checked."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id").isin(COSINE_QIDS)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ann.lsh_candidates(e, q, n_planes=6, n_tables=8, dim=64, seed=7).select(
+        F.col("qid").cast("long"),
+        F.col("vec_id").cast("long"),
+        F.col("tbl").cast("long"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver surface
 
@@ -742,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": q_rrf_fusion,
         "vector_distances": q_vector_distances,
         "lsh_cosine_topk": q_lsh_cosine_topk,
+        "lsh_candidates": q_lsh_candidates,
         # image_hashes itself is superseded as a driver entry by
         # image_hash_pairs (full DuckDB oracle over the relational stage);
         # the hash math keeps its numpy-parity pytest
@@ -1086,6 +1105,49 @@ walk(id, comp) AS (
 SELECT id::BIGINT AS id, min(comp)::BIGINT AS comp FROM walk GROUP BY id
 """
     )
+
+
+def _lsh_candidates_sql() -> str:
+    """Replicate ann.lsh_candidates in DuckDB: regenerate the seeded
+    hyperplanes driver-side (pure function of dim/n_planes/seed — same
+    RandomState stream the engine uses), inline them as VALUES, then
+    bucket every vector, probe the query buckets (+ all 1-bit flips), and
+    join. repr() of a float is shortest-round-trip, so the coefficients
+    survive the SQL text exactly."""
+    from similarities_spark.functions.ann import _hyperplanes
+
+    n_planes, n_tables, dim, seed = 6, 8, 64, 7
+    rows = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 101 * t)
+        for pi in range(n_planes):
+            for j in range(dim):
+                rows.append(f"({t},{pi},{j + 1},{planes[pi][j]!r})")
+    qids = ",".join(str(x) for x in COSINE_QIDS)
+    return f"""
+WITH planes(tbl, pidx, j, w) AS (VALUES {",".join(rows)}),
+dots AS (
+  SELECT e.vec_id, p.tbl, p.pidx,
+         CASE WHEN sum(p.w * e.embedding[p.j]) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM embeddings e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.tbl, p.pidx
+),
+buckets AS (
+  SELECT vec_id, tbl, sum(bit * (1::BIGINT << pidx))::BIGINT AS bucket
+  FROM dots GROUP BY vec_id, tbl
+),
+flips(f) AS (VALUES (-1),(0),(1),(2),(3),(4),(5)),
+qprobes AS (
+  SELECT b.vec_id AS qid, b.tbl,
+         CASE WHEN f.f < 0 THEN b.bucket
+              ELSE xor(b.bucket, (1::BIGINT << f.f)) END AS bucket
+  FROM buckets b CROSS JOIN flips f
+  WHERE b.vec_id IN ({qids})
+)
+SELECT DISTINCT q.qid::BIGINT AS qid, v.vec_id::BIGINT AS vec_id,
+       v.tbl::BIGINT AS tbl
+FROM buckets v JOIN qprobes q ON v.tbl = q.tbl AND v.bucket = q.bucket
+"""
 
 
 def _simhash_sql() -> str:
@@ -1503,8 +1565,11 @@ SELECT a.media_id::BIGINT AS id_a, b.media_id::BIGINT AS id_b,
 FROM h a JOIN h b ON a.media_id < b.media_id
 """
 
-    # lsh_cosine_topk: intentionally no SQL oracle (approximate ANN; driver
-    # records the rows-only check).
+    sqls["lsh_candidates"] = _lsh_candidates_sql()
+
+    # lsh_cosine_topk: intentionally no SQL oracle (approximate ANN ranking;
+    # its deterministic candidate-generation prefix IS fully oracled above
+    # as lsh_candidates; driver records the rows-only check here).
     # image_hashes: intentionally no SQL oracle (DCT/median not
     # SQL-expressible; the hash MATH is pytest-oracled against an
     # independent numpy reimplementation, and the relational stage over the

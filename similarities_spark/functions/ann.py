@@ -111,27 +111,22 @@ def lsh_bucket_col(vec, planes: np.ndarray):
     return acc
 
 
-def lsh_cosine_topk(
+def _lsh_candidate_rows(
     vectors: DataFrame,
     queries: DataFrame,
-    k: int = 10,
-    n_planes: int = 6,
-    n_tables: int = 8,
-    dim: Optional[int] = None,
-    seed: int = 7,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    qid_col: str = "qid",
-    qvec_col: str = "qvec",
+    n_planes: int,
+    n_tables: int,
+    dim: Optional[int],
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    qvec_col: str,
 ) -> DataFrame:
-    """Approximate top-k via standard multi-table random-hyperplane LSH:
-    ``n_tables`` independent plane sets; candidates = union over tables of
-    vectors in the query's bucket or any 1-bit-flip neighbor (multi-probe),
-    exact-cosine rescored. Recall rises with n_tables (miss probability is
-    the PRODUCT of per-table misses); cost per table is one bucket join.
-    Tune n_planes up (fewer candidates/bucket) and n_tables up (recall) as
-    the corpus grows — candidate volume ~ N * n_tables * (n_planes+1) /
-    2^n_planes."""
+    """Shared candidate-generation stage: (qid, vec_id, tbl, vec, qvec) —
+    one row per (table, probe) hit, before dedup/rescoring. Fully
+    deterministic given the seed (the planes derive from RandomState), so
+    the distinct projection is externally verifiable (lsh_candidates)."""
     if dim is None:
         # convenience fallback ONLY (reads one row on the driver) — callers
         # at scale should pass dim explicitly; array columns don't carry
@@ -174,8 +169,66 @@ def lsh_cosine_topk(
     probes = q.select(
         "qid", "qvec", F.explode(F.array(*probe_structs)).alias("tb")
     ).select("qid", "qvec", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    return v.join(F.broadcast(probes), ["tbl", "bucket"]).select(
+        "qid", "vec_id", "tbl", "vec", "qvec"
+    )
+
+
+def lsh_candidates(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: Optional[int] = None,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """The DETERMINISTIC prefix of lsh_cosine_topk: distinct
+    (qid, vec_id, tbl) candidate hits — vector in the query's bucket or a
+    1-bit-flip neighbor, per table. The planes are a pure function of
+    (dim, n_planes, seed), so an external engine can regenerate them and
+    verify this stage exactly; only the final top-k ranking downstream is
+    approximate-by-design."""
+    return (
+        _lsh_candidate_rows(
+            vectors, queries, n_planes, n_tables, dim, seed,
+            id_col, vec_col, qid_col, qvec_col,
+        )
+        .select("qid", "vec_id", "tbl")
+        .distinct()
+    )
+
+
+def lsh_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    dim: Optional[int] = None,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Approximate top-k via standard multi-table random-hyperplane LSH:
+    ``n_tables`` independent plane sets; candidates = union over tables of
+    vectors in the query's bucket or any 1-bit-flip neighbor (multi-probe),
+    exact-cosine rescored. Recall rises with n_tables (miss probability is
+    the PRODUCT of per-table misses); cost per table is one bucket join.
+    Tune n_planes up (fewer candidates/bucket) and n_tables up (recall) as
+    the corpus grows — candidate volume ~ N * n_tables * (n_planes+1) /
+    2^n_planes. The candidate stage is exposed (and oracled) separately as
+    lsh_candidates."""
     cand = (
-        v.join(F.broadcast(probes), ["tbl", "bucket"])
+        _lsh_candidate_rows(
+            vectors, queries, n_planes, n_tables, dim, seed,
+            id_col, vec_col, qid_col, qvec_col,
+        )
         .select(
             "qid", "vec_id", cosine(F.col("vec"), F.col("qvec")).alias("cosine")
         )

@@ -1,0 +1,66 @@
+"""Round-4 fixes: LSH candidate-stage split, BM25Plus fan-out parity,
+minhash production hash mode."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from similarities_spark.functions import ann
+
+
+def _vecs(spark, n=80, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    base = rng.randn(n, dim)
+    rows = [(i, base[i].astype(float).tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_lsh_candidates_is_exact_prefix_of_topk(spark):
+    """Rescoring exactly the lsh_candidates set must reproduce
+    lsh_cosine_topk — the split introduced for the oracle cannot change
+    the operator's semantics."""
+    v = _vecs(spark)
+    q = v.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    kw = dict(n_planes=5, n_tables=4, dim=16, seed=11)
+    topk = ann.lsh_cosine_topk(v, q, k=5, **kw)
+    cand = ann.lsh_candidates(v, q, **kw)
+    # manual rescore of the candidate set
+    joined = (
+        cand.select("qid", "vec_id")
+        .distinct()
+        .join(v, "vec_id")
+        .join(
+            q.withColumnRenamed("qvec", "qv"), "qid"
+        )
+        .select(
+            "qid",
+            "vec_id",
+            ann.cosine(F.col("embedding"), F.col("qv")).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    manual = (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "rank", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )
+    assert sorted(map(tuple, topk.collect())) == sorted(
+        map(tuple, manual.collect())
+    )
+
+
+def test_lsh_candidates_deterministic_and_covers_self(spark):
+    v = _vecs(spark, n=40)
+    q = v.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    a = sorted(map(tuple, ann.lsh_candidates(v, q, dim=16).collect()))
+    b = sorted(map(tuple, ann.lsh_candidates(v, q, dim=16).collect()))
+    assert a == b and len(a) > 0
+    # a query's own vector shares its bucket in every table
+    hits = {(r[0], r[1]) for r in a}
+    assert (0, 0) in hits and (1, 1) in hits
