@@ -183,15 +183,15 @@ class BM25QueryEngine:
         doc — ranges partition the doc space) and emits a local top-k; a
         global window merges. This is the single-query-latency path at
         extreme scale — one query's work spreads over R tasks instead of
-        one. When ``fan_out`` is None it auto-enables (Okapi/BM25L — their
-        unmatched-doc contribution is exactly 0, so scoring decomposes over
-        doc ranges; BM25Plus's per-token idf*delta baseline does not) once
-        the estimated candidate volume of the fattest query exceeds
-        ``cfg.fan_out_threshold`` postings."""
+        one. When ``fan_out`` is None it auto-enables once the estimated
+        candidate volume of the fattest query exceeds
+        ``cfg.fan_out_threshold`` postings. All variants decompose over doc
+        ranges: Okapi/BM25L because their unmatched-doc contribution is
+        exactly 0; BM25Plus because its per-token idf*delta baseline is a
+        query constant every range task reproduces from the token-side df
+        column (scorer token_dfs), independent of which blocks it sees."""
         cfg = self.cfg
         variant = cfg.variant
-        if variant not in ("okapi", "bm25l"):
-            fan_out = None
 
         tok_udf = make_tokenizer_udf("query")
         qtok = queries_df.select(
@@ -267,6 +267,7 @@ class BM25QueryEngine:
             known, "query_id long, term string, df long, idf double"
         )
         qblocks = F.broadcast(qstats).join(blocks, "term", "inner")
+        qtok = self._attach_token_dfs(qtok, qstats)
 
         fan_thr = self.fan_out_threshold()
         if fan_out is None and fan_thr:
@@ -277,7 +278,7 @@ class BM25QueryEngine:
             for q, t, df_, _ in known:
                 per_q[q] = per_q.get(q, 0) + df_
             max_cand = max(per_q.values(), default=0)
-            if variant in ("okapi", "bm25l") and max_cand > fan_thr:
+            if max_cand > fan_thr:
                 fan_out = min(cfg.fan_out_max, -(-max_cand // fan_thr))
         # observability (and test hook): the fan-out actually used
         self.last_fan_out = fan_out
@@ -327,10 +328,11 @@ class BM25QueryEngine:
             F.pmod(F.xxhash64("term"), F.lit(cfg.num_term_buckets)).cast("int"),
         )
         qblocks = qstats.join(self.index.blocks(), ["bucket", "term"], "inner")
+        qtok = self._attach_token_dfs(qtok, qstats, broadcast_stats=False)
 
         fan_out = None
         fan_thr = self.fan_out_threshold()
-        if fan_thr and cfg.variant in ("okapi", "bm25l"):
+        if fan_thr:
             row = (
                 qstats.groupBy("query_id")
                 .agg(F.sum("df").alias("c"))
@@ -344,6 +346,29 @@ class BM25QueryEngine:
         return self._finish_search(
             qtok, qblocks, queries_df, topn, fan_out, include_text
         )
+
+    def _attach_token_dfs(
+        self, qtok: DataFrame, qstats: DataFrame, broadcast_stats: bool = True
+    ) -> DataFrame:
+        """Carry each in-index token's corpus df on the token side of the
+        cogroup (null for unknown terms). Only BM25Plus consumes it (the
+        scorer rebuilds per-token idf*delta baselines from it so doc-range
+        fan-out tasks stay exact even for tokens whose blocks live outside
+        their range); other variants skip the join and carry a null column
+        so the cogroup's left schema is stable across variants."""
+        if self.cfg.variant != "bm25plus":
+            return qtok.withColumn("df", F.lit(None).cast("long"))
+        # fresh Alias exprIds: qstats also feeds the blocks side of the
+        # cogroup, and re-using its `df` attribute on the token side trips
+        # Spark's ambiguous-self-join detection
+        stats = qstats.select(
+            F.col("query_id").alias("query_id"),
+            F.col("term").alias("term"),
+            F.col("df").alias("df"),
+        )
+        if broadcast_stats:
+            stats = F.broadcast(stats)
+        return qtok.join(stats, ["query_id", "term"], "left")
 
     def _finish_search(
         self,
@@ -391,10 +416,15 @@ class BM25QueryEngine:
             rid = int(src["range_id"].iloc[0])
             doc_range = (rid * per, (rid + 1) * per) if per else None
             tokens = list(left.sort_values("pos")["term"])
+            token_dfs = {
+                t: int(d)
+                for t, d in zip(left["term"], left["df"])
+                if pd.notna(d)
+            }
             ids, scores, n_matched, needs_pad, pad_score = _scorer.score_query(
                 tokens, right, k, avgdl, k1, b, prune=prune,
                 variant=variant, delta=delta, n_docs=n_docs,
-                doc_range=doc_range,
+                doc_range=doc_range, token_dfs=token_dfs or None,
             )
             return pd.DataFrame(
                 {

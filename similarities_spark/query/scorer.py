@@ -72,6 +72,7 @@ def score_query(
     delta: float = 0.0,
     n_docs: int = 0,
     doc_range: "Tuple[int, int]" = None,
+    token_dfs: "Dict[str, int]" = None,
 ) -> Tuple[np.ndarray, np.ndarray, int, bool, float]:
     """-> (top doc_ids, exact scores, n_matched, needs_pad, pad_score).
 
@@ -84,11 +85,30 @@ def score_query(
     every doc (reference rank_bm25.py:154-161), accumulated in token order.
     Pruning is only enabled for the Okapi variant (block-max metadata is
     Okapi-shaped); variants run the exact TAAT path.
+
+    ``token_dfs`` (token -> corpus df for every IN-INDEX query token) makes
+    the per-token baselines independent of which blocks this task sees —
+    required under doc-range fan-out, where a token's blocks may all live
+    outside this task's range yet its BM25Plus idf*delta baseline still
+    applies to every doc in it. Without it, baselines fall back to the
+    blocks present (correct only when term_blocks is unsharded).
     """
     from similarities_spark import variants as _variants
 
     if variant != "okapi":
         prune = False
+
+    def bases_from_dfs() -> Dict[str, float]:
+        idf_f = _variants.idf_fn(variant, n_docs) if variant != "okapi" else None
+        return {
+            t: (
+                _variants.unmatched_contrib(variant, idf_f(dfv), delta)
+                if idf_f is not None
+                else 0.0
+            )
+            for t, dfv in token_dfs.items()
+        }
+
     if doc_range is not None and term_blocks is not None and len(term_blocks):
         # doc-sharded fan-out: this task owns docs in [lo, hi) — drop blocks
         # fully outside the range; boundary blocks are clipped after decode
@@ -97,7 +117,12 @@ def score_query(
             (term_blocks["max_doc"] >= lo) & (term_blocks["min_doc"] < hi)
         ]
     if term_blocks is None or len(term_blocks) == 0:
-        return np.empty(0, np.int64), np.empty(0, np.float64), 0, True, 0.0
+        pad = 0.0
+        if token_dfs:
+            empty_bases = bases_from_dfs()
+            for tok in tokens:  # token order, like every accumulation here
+                pad += empty_bases.get(tok, 0.0)
+        return np.empty(0, np.int64), np.empty(0, np.float64), 0, True, pad
 
     occ = Counter(tokens)
     # group block rows per term, in (salt, block_id) order = ascending doc_id
@@ -200,10 +225,13 @@ def score_query(
         )
 
     n_matched = int(cand_ids.size)
-    bases = {
-        t: _variants.unmatched_contrib(variant, term_idf(groups[t]), delta)
-        for t in groups
-    }
+    if token_dfs is not None:
+        bases = bases_from_dfs()
+    else:
+        bases = {
+            t: _variants.unmatched_contrib(variant, term_idf(groups[t]), delta)
+            for t in groups
+        }
     pad_score = 0.0
     for tok in tokens:  # token order, like every other accumulation here
         if tok in bases:
@@ -226,7 +254,15 @@ def score_query(
     for tok in tokens:
         hit = lookup.get(tok)
         if hit is None:
-            continue  # term absent from index: contributes exactly 0.0
+            # no postings decoded for this token HERE. Either it is absent
+            # from the index (base 0.0, contributes nothing) or — under
+            # doc-range fan-out — its postings all live outside this range,
+            # in which case its BM25Plus baseline still applies to every
+            # candidate (same constant the dense reference adds).
+            base = bases.get(tok, 0.0)
+            if base != 0.0:
+                scores += base
+            continue
         pos, c_ = hit
         base = bases[tok]
         if base == 0.0:

@@ -206,19 +206,37 @@ def test_bm25l_fanout_matches_unsharded(built, spark):
     assert b_rows == f_rows
 
 
-def test_bm25plus_never_fans_out(built, spark):
-    """BM25Plus's per-token idf*delta baseline is NOT range-decomposable;
-    fan_out requests must be ignored for it."""
+def test_bm25plus_fanout_matches_unsharded(built, spark):
+    """BM25Plus's per-token idf*delta baseline is a query constant, so
+    doc-range decomposition applies to it too (r4): every range task
+    rebuilds the full baseline from the token-side df column, including
+    for tokens whose blocks live entirely outside its range. Hits must be
+    bit-identical to the unsharded path — ids AND float64 scores."""
     import dataclasses
 
     index, oracle, _ = built
     eng = BM25QueryEngine(index)
-    eng.cfg = dataclasses.replace(
-        index.config(), variant="bm25plus", fan_out_threshold=1
+    eng.cfg = dataclasses.replace(index.config(), variant="bm25plus")
+    # mix: head terms, a rare term, a dup token, and an unknown token
+    qdf = spark.createDataFrame(
+        [(0, "data web w0001"), (1, "of of data"), (2, "w0005 zzzunknown")],
+        "query_id long, text string",
     )
-    qdf = spark.createDataFrame([(0, "data web")], "query_id long, text string")
-    eng.search_df(qdf, topn=5, fan_out=4).collect()
-    assert eng.last_fan_out is None
+    base = eng.search_df(qdf, topn=10).collect()
+    fan = eng.search_df(qdf, topn=10, fan_out=4).collect()
+    assert eng.last_fan_out == 4
+    b_rows = sorted((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in base)
+    f_rows = sorted((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in fan)
+    assert b_rows == f_rows
+    # auto fan-out now engages for the delta variant as well
+    eng_auto = BM25QueryEngine(index)
+    eng_auto.cfg = dataclasses.replace(
+        index.config(), variant="bm25plus", fan_out_threshold=20, fan_out_max=8
+    )
+    auto = eng_auto.search_df(qdf, topn=10).collect()
+    assert eng_auto.last_fan_out and eng_auto.last_fan_out > 1
+    a_rows = sorted((r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in auto)
+    assert a_rows == b_rows
 
 
 def test_fanout_matches_single_task_path(built, spark):

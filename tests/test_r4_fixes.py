@@ -64,3 +64,44 @@ def test_lsh_candidates_deterministic_and_covers_self(spark):
     # a query's own vector shares its bucket in every table
     hits = {(r[0], r[1]) for r in a}
     assert (0, 0) in hits and (1, 1) in hits
+
+
+# ---------- BM25Plus fan-out via the join query path ----------
+
+
+def test_bm25plus_search_join_df_fanout_parity(spark, tmp_path):
+    """The fully-distributed join path must also decompose BM25Plus over
+    doc ranges exactly (token-side df join with broadcast_stats=False)."""
+    import dataclasses
+
+    from similarities_spark.config import EngineConfig
+    from similarities_spark.query.engine import BM25QueryEngine
+    from similarities_spark.sources.synth import synth_webtext_pandas
+    from tests.test_r3_fixes import _build
+
+    df = spark.createDataFrame(synth_webtext_pandas(n_docs=100, seed=21))
+    idx = _build(
+        spark, df, tmp_path / "i", EngineConfig(num_term_buckets=4)
+    )
+    qdf = spark.createDataFrame(
+        [(0, "data web w0003"), (1, "zzz unknown"), (2, "the of and")],
+        "query_id long, text string",
+    )
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["score"]) for r in rows
+    )
+    eng = BM25QueryEngine(
+        idx, cfg=dataclasses.replace(idx.config(), variant="bm25plus")
+    )
+    base = key(eng.search_df(qdf, topn=7).collect())
+    joined = key(eng.search_join_df(qdf, topn=7).collect())
+    assert joined == base
+    eng_f = BM25QueryEngine(
+        idx,
+        cfg=dataclasses.replace(
+            idx.config(), variant="bm25plus", fan_out_threshold=20
+        ),
+    )
+    fanned = key(eng_f.search_join_df(qdf, topn=7).collect())
+    assert eng_f.last_fan_out and eng_f.last_fan_out > 1
+    assert fanned == base
