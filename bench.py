@@ -163,6 +163,17 @@ def main():
         "minhash_lsh",
         lambda: dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=4).count(),
     )
+    # informational (NOT in the total, which stays round-comparable):
+    # the production hash mode — same banding statistics, xxhash64 instead
+    # of 16 md5 digests per shingle
+    xxh = {}
+    clock(
+        "minhash_xxh64_s",
+        lambda: dedup.minhash_lsh_pairs(
+            docs, num_hashes=16, bands=4, hash_fn="xxhash64"
+        ).count(),
+        into=xxh,
+    )
     clock("simhash64", lambda: dedup.simhash64(docs).count())
     qv = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
@@ -228,6 +239,7 @@ def main():
         "calib": {"pre": calib_pre, "post": calib_post},
         "ab": ab,
         "fat_query": fat,
+        "minhash_xxh64_s": xxh["minhash_xxh64_s"],
     }
     if quiet_gate is not None:
         out["quiet_gate"] = quiet_gate

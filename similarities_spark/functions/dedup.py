@@ -187,18 +187,35 @@ def minhash_wide(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """One row per doc with num_hashes signature COLUMNS: the shingle rows
     are aggregated once (16 min() aggregates) instead of exploded x16 —
-    same md5 work, 16x less shuffle volume. Signatures identical to
-    minhash_signatures (min over md5(seed|shingle) hex)."""
+    same hash work, 16x less shuffle volume. Signatures identical to
+    minhash_signatures (min over md5(seed|shingle) hex).
+
+    ``hash_fn``: 'md5' (default) — portable hex, reproducible in DuckDB /
+    Python for the oracle entries. 'xxhash64' — the PRODUCTION mode: the
+    JVM's 64-bit xxHash with the seed mixed in as a leading literal column,
+    several-fold cheaper than 16 md5 digests per shingle (md5 is the
+    dominant cost of the whole minhash phase); signature values differ from
+    md5 mode but the minhash estimator's statistics are the same, so pair
+    sets at matched thresholds agree (pytest-gated)."""
     sh = shingles_df(df, n=n, text_col=text_col, id_col=id_col)
-    aggs = [
-        F.min(
-            F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))
-        ).alias(f"sig{s}")
-        for s in range(num_hashes)
-    ]
+    if hash_fn == "md5":
+        aggs = [
+            F.min(
+                F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))
+            ).alias(f"sig{s}")
+            for s in range(num_hashes)
+        ]
+    elif hash_fn == "xxhash64":
+        aggs = [
+            F.min(F.xxhash64(F.lit(s), F.col("shingle"))).alias(f"sig{s}")
+            for s in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (md5 | xxhash64)")
     return sh.groupBy("id").agg(*aggs)
 
 
@@ -210,6 +227,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: Optional[int] = 1000,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """LSH banding over MinHash signatures: docs agreeing on ALL rows of any
     band become candidate pairs (est_jaccard = fraction of matching hashes).
@@ -217,21 +235,25 @@ def minhash_lsh_pairs(
     This is the web-scale near-dup path: cost is a groupBy on (band, band
     signature) + per-bucket pairing — no shingle self-join, no n^2.
     Signatures ride as wide columns (minhash_wide); only the small banded
-    projection is exploded for the bucket join.
+    projection is exploded for the bucket join. ``hash_fn='xxhash64'`` is
+    the production mode (see minhash_wide): same banding statistics at a
+    fraction of the hashing cost; 'md5' stays the oracle-portable default.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_wide(
-        df, num_hashes=num_hashes, n=n, text_col=text_col, id_col=id_col
+        df, num_hashes=num_hashes, n=n, text_col=text_col, id_col=id_col,
+        hash_fn=hash_fn,
     ).persist()
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
             F.concat_ws(
-                "",
+                "_",  # unambiguous for numeric xxhash64 sigs; md5 sigs are
+                # fixed-width hex so the separator never changes grouping
                 F.sort_array(
                     F.array(
                         *[
-                            F.col(f"sig{s}")
+                            F.col(f"sig{s}").cast("string")
                             for s in range(
                                 bi * rows_per_band, (bi + 1) * rows_per_band
                             )

@@ -105,3 +105,54 @@ def test_bm25plus_search_join_df_fanout_parity(spark, tmp_path):
     fanned = key(eng_f.search_join_df(qdf, topn=7).collect())
     assert eng_f.last_fan_out and eng_f.last_fan_out > 1
     assert fanned == base
+
+
+# ---------- minhash production hash mode ----------
+
+
+def test_minhash_xxhash64_pair_set_parity(spark):
+    """hash_fn='xxhash64' (production) must find the same near-dup pair
+    set as the oracle-matched md5 mode at matched thresholds, on a corpus
+    with clear dup structure (near-dups at jaccard ~0.9, unrelated docs at
+    ~0) — the estimator's statistics don't depend on the hash family."""
+    from similarities_spark.functions import dedup
+
+    rng = np.random.RandomState(17)
+    vocab = [f"tok{i}" for i in range(400)]
+    docs, did = [], 0
+    for c in range(8):  # 8 clusters of 3 near-identical 150-token docs
+        base = list(rng.choice(vocab, size=150, replace=True))
+        for v in range(3):
+            words = list(base)
+            if v:  # one-token perturbation: shingle jaccard stays ~0.96
+                words[rng.randint(len(words))] = vocab[rng.randint(len(vocab))]
+            docs.append((did, " ".join(words)))
+            did += 1
+    for _ in range(20):  # unrelated singletons
+        docs.append((did, " ".join(rng.choice(vocab, size=150, replace=True))))
+        did += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def pairs(hash_fn):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_pairs(
+                df, num_hashes=16, bands=4, hash_fn=hash_fn
+            )
+            .filter(F.col("est_jaccard") >= 0.5)
+            .collect()
+        }
+
+    p_md5, p_xxh = pairs("md5"), pairs("xxhash64")
+    assert p_md5 == p_xxh
+    # and the set is the true cluster structure: pairs within clusters only
+    assert all(a // 3 == b // 3 and a < 24 and b < 24 for a, b in p_md5)
+    assert len(p_md5) >= 8  # every cluster contributes at least one pair
+
+
+def test_minhash_xxhash64_rejects_unknown_fn(spark):
+    from similarities_spark.functions import dedup
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="hash_fn"):
+        dedup.minhash_wide(df, hash_fn="sha1")
