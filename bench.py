@@ -17,8 +17,9 @@ Informational keys (NOT in the total):
   calib     : {pre, post} single-thread memcpy/cpu probes (scripts/calib.py)
               — the same-window noise control. A suite regression with a
               collapsed memcpy probe is the multi-tenant box, not the engine.
-  ab        : same-process interleaved fused-vs-groupby index build A/B on
-              identical input (the r1 plan vs the r2 one-exchange plan).
+  ab        : same-process interleaved build-plan A/B on identical input:
+              groupby (r1 two-exchange) vs fused (r2 one-exchange) vs
+              fused_tf (r4 one-exchange + map-side per-doc TF, the default).
   fat_query : single fattest-term query latency with auto doc-range fan-out
               engaged vs forced off, incl. the kernel-rate-derived threshold.
   docs_per_sec, queries_per_sec, n_docs.
@@ -199,12 +200,16 @@ def main():
     fat["fan_out"] = eng_auto.last_fan_out
     fat["calibration"] = eng_auto.last_calibration
 
-    # --- informational: same-process fused-vs-groupby build A/B ---
-    # (both fresh dirs, warmed JVM, identical input — the r2-vs-r1 plan
-    # delta measured inside ONE window so it is attributable)
+    # --- informational: same-process build-plan A/B ---
+    # (fresh dirs, warmed JVM, identical input — plan deltas measured
+    # inside ONE window so they are attributable): groupby = the r1
+    # two-exchange plan, fused = the r2 single-exchange plan, fused_tf =
+    # the r4 single-exchange plan with map-side per-doc TF (the default;
+    # also what `index_build` above timed)
     ab = {}
     g_dir = tempfile.mkdtemp(prefix="bench_ab_g_")
     f_dir = tempfile.mkdtemp(prefix="bench_ab_f_")
+    ft_dir = tempfile.mkdtemp(prefix="bench_ab_ft_")
     clock(
         "groupby_s",
         lambda: BM25IndexBuilder(
@@ -214,14 +219,23 @@ def main():
     )
     clock(
         "fused_s",
-        lambda: BM25IndexBuilder(spark, cfg).build(
-            webtext, f_dir, input_desc=sf_dir
-        ),
+        lambda: BM25IndexBuilder(
+            spark, replace(cfg, postings_mode="fused")
+        ).build(webtext, f_dir, input_desc=sf_dir),
+        into=ab,
+    )
+    clock(
+        "fused_tf_s",
+        lambda: BM25IndexBuilder(
+            spark, replace(cfg, postings_mode="fused_tf")
+        ).build(webtext, ft_dir, input_desc=sf_dir),
         into=ab,
     )
     ab["fused_speedup"] = round(ab["groupby_s"] / ab["fused_s"], 3)
+    ab["fused_tf_speedup"] = round(ab["fused_s"] / ab["fused_tf_s"], 3)
     shutil.rmtree(g_dir, ignore_errors=True)
     shutil.rmtree(f_dir, ignore_errors=True)
+    shutil.rmtree(ft_dir, ignore_errors=True)
 
     calib_post = probe()
 

@@ -152,6 +152,16 @@ def main():
     )
     checks.append(("ENGINE fused build has no pre-encode hash aggregate",
                    "HashAggregate" not in fmt and "SortAggregate" not in fmt))
+    if builder.cfg.postings_mode == "fused_tf":
+        # map-side TF: the run-length pass must be staged (ONE array_sort
+        # in the formatted plan — CollapseProject re-inlining it would
+        # re-sort per element inside the lambdas, quadratic per doc)
+        fmt_full = parts[1] if len(parts) > 2 else ep
+        n_sorts = fmt_full.count("array_sort")
+        checks.append(
+            ("fused_tf map-side TF staged (exactly one array_sort, "
+             f"found {n_sorts})", n_sorts == 1)
+        )
     sp = sections[5][1]
     checks.append(
         ("term_stats lookup pushes term IN-list to parquet scan",

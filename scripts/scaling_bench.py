@@ -47,7 +47,7 @@ def run(
     cpus: int,
     corpus: str,
     index_dir: str,
-    postings_mode: str = "fused",
+    postings_mode: str = "fused_tf",
     salt_sample: float = 0.05,
 ):
     from pyspark.sql import SparkSession, functions as F
@@ -118,7 +118,8 @@ def main():
     p.add_argument("--corpus", default=CORPUS_DEFAULT)
     p.add_argument("--cpus", type=int, default=32)
     p.add_argument("--index-dir", default=None)
-    p.add_argument("--postings-mode", default="fused", choices=["fused", "groupby"])
+    p.add_argument("--postings-mode", default="fused_tf",
+                   choices=["fused_tf", "fused", "groupby"])
     p.add_argument("--salt-sample", type=float, default=0.05,
                    help="heavy-term sample fraction; 0 = exact pass + token cache")
     args = p.parse_args()
