@@ -76,7 +76,9 @@ def main():
     )
 
     builder = BM25IndexBuilder(spark, idx.config())
-    tok_df, exploded = builder._tokenized_exploded(idx.docs())
+    # audit the SCALE-path plan explicitly: 'auto' resolves by batch size
+    # at build time, but the 100-TB shape is always fused_tf
+    tok_df, exploded = builder._tokenized_exploded(idx.docs(), mode="fused_tf")
     # literal heavy list: in production this is a vocab-sized partial-agg
     # side plan feeding the SAME BroadcastExchange — substituting a literal
     # isolates the postings-row path so the check below counts only the
@@ -152,16 +154,15 @@ def main():
     )
     checks.append(("ENGINE fused build has no pre-encode hash aggregate",
                    "HashAggregate" not in fmt and "SortAggregate" not in fmt))
-    if builder.cfg.postings_mode == "fused_tf":
-        # map-side TF: the run-length pass must be staged (ONE array_sort
-        # in the formatted plan — CollapseProject re-inlining it would
-        # re-sort per element inside the lambdas, quadratic per doc)
-        fmt_full = parts[1] if len(parts) > 2 else ep
-        n_sorts = fmt_full.count("array_sort")
-        checks.append(
-            ("fused_tf map-side TF staged (exactly one array_sort, "
-             f"found {n_sorts})", n_sorts == 1)
-        )
+    # map-side TF: the run-length pass must be staged (ONE array_sort
+    # in the formatted plan — CollapseProject re-inlining it would
+    # re-sort per element inside the lambdas, quadratic per doc)
+    fmt_full = parts[1] if len(parts) > 2 else ep
+    n_sorts = fmt_full.count("array_sort")
+    checks.append(
+        ("fused_tf map-side TF staged (exactly one array_sort, "
+         f"found {n_sorts})", n_sorts == 1)
+    )
     sp = sections[5][1]
     checks.append(
         ("term_stats lookup pushes term IN-list to parquet scan",

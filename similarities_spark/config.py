@@ -64,17 +64,33 @@ class EngineConfig:
         return DELTAS[self.variant] if self.delta is None else self.delta
 
     # --- postings construction ---
-    # 'fused_tf' (default): per-doc TF pre-aggregated MAP-SIDE by a pure
-    # JVM run-length pass over each doc's sorted token array
-    # (_doc_tf_entries) — still ONE all-to-all exchange, but it moves one
-    # row per distinct (doc, term) instead of one per token occurrence
-    # (~25-45% less shuffle volume on natural text; trades scalable CPU for
-    # scarce bandwidth). 'fused': raw exploded tokens shuffle straight into
-    # the block encoder, which counts doc_id duplicates as tf (np.unique).
-    # 'groupby': legacy explode -> groupBy(term, doc_id) hash aggregate
-    # feeding a second encode exchange (kept for A/B scaling measurements).
-    # All three produce bit-identical indexes (parity-tested).
-    postings_mode: str = "fused_tf"
+    # 'auto' (default): resolve per batch by size — 'fused_tf' when the
+    # batch reaches auto_tf_docs documents, 'fused' below it. 'fused_tf':
+    # per-doc TF pre-aggregated MAP-SIDE by a pure JVM run-length pass over
+    # each doc's sorted token array (_doc_tf_entries) — still ONE
+    # all-to-all exchange, but it moves one row per distinct (doc, term)
+    # instead of one per token occurrence (~25-45% less shuffle volume on
+    # natural text; trades scalable CPU for scarce bandwidth — the winner
+    # at scale: 1.5x at 60k docs, 1.2x at 200k, same-JVM A/Bs in
+    # BENCH/ab_fused_tf*.jsonl). 'fused': raw exploded tokens shuffle
+    # straight into the block encoder, which counts doc_id duplicates as tf
+    # (np.unique) — wins below the crossover, where the per-doc sort CPU
+    # outweighs the tiny shuffle it saves. 'groupby': legacy explode ->
+    # groupBy(term, doc_id) hash aggregate feeding a second encode exchange
+    # (kept for A/B scaling measurements). All modes produce bit-identical
+    # indexes (parity-tested).
+    postings_mode: str = "auto"
+    # 'auto' crossover, in input-batch documents. Measured on this box
+    # (fused_tf breaks even at 20k x ~60-token docs, wins 1.5x by 60k); a
+    # real cluster's network shuffle is more expensive than this box's
+    # in-memory one, so the threshold is conservative for production.
+    auto_tf_docs: int = 50_000
+
+    def resolved_postings_mode(self, n_docs: int) -> str:
+        """Physical build plan for a batch of ``n_docs`` documents."""
+        if self.postings_mode != "auto":
+            return self.postings_mode
+        return "fused_tf" if n_docs >= self.auto_tf_docs else "fused"
     # Heavy-term (salt-list) detection in fused mode. None = exact pass over
     # the full corpus, which requires CACHING the tokenized corpus (written
     # once, read twice — impossible at 100 TB and bandwidth-hostile
@@ -114,12 +130,13 @@ class EngineConfig:
                 "num_term_buckets": self.num_term_buckets,
                 "salt_df_threshold": self.salt_df_threshold,
                 "num_salts": self.num_salts,
-                # 'fused' and 'fused_tf' are the same index family with
+                # auto/fused/fused_tf are the same index family with
                 # bit-identical output (parity-tested) — normalized so
                 # switching between them never invalidates a resume
+                # (auto_tf_docs is likewise layout-neutral and excluded)
                 "postings_mode": (
                     "fused"
-                    if self.postings_mode == "fused_tf"
+                    if self.postings_mode in ("fused_tf", "auto")
                     else self.postings_mode
                 ),
                 "salt_sample_fraction": self.salt_sample_fraction,

@@ -619,7 +619,11 @@ class BM25IndexBuilder:
             # deterministic sample. With it unset, the cache serves both the
             # exact heavy pass and the encode pass.
             use_cache = cfg.salt_sample_fraction is None
-            tokenized, exploded = self._tokenized_exploded(docs, cache=use_cache)
+            tokenized, exploded = self._tokenized_exploded(
+                docs,
+                cache=use_cache,
+                mode=cfg.resolved_postings_mode(n_docs),
+            )
             # the salt list is TINY (terms above threshold) — collect it and
             # re-broadcast a literal so the sample/cache pass runs exactly
             # once (a broadcast of the lazy plan would recompute it), and so
@@ -784,7 +788,12 @@ class BM25IndexBuilder:
             tokenized, rows = self._tokenized_postings(new_docs)
             heavy_src = rows.select("term")  # one row per (term, doc): df
         else:
-            tokenized, rows = self._tokenized_exploded(new_docs)
+            # resolved on the NEW batch's size: incremental batches are
+            # usually far below the fused_tf crossover even when the
+            # accumulated corpus is far above it
+            tokenized, rows = self._tokenized_exploded(
+                new_docs, mode=cfg.resolved_postings_mode(m_new)
+            )
             # per-doc distinct BEFORE explode: count(1) per term = batch df,
             # consistent with groupby mode (salt_df_threshold means df)
             heavy_src = tokenized.select(
@@ -1053,28 +1062,40 @@ class BM25IndexBuilder:
             "doc_id", tok_fn(F.col("text")).alias("toks")
         ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    def _tokenized_exploded(self, docs: DataFrame, cache: bool = True):
+    def _tokenized_exploded(
+        self, docs: DataFrame, cache: bool = True, mode: Optional[str] = None
+    ):
         """FUSED-mode input rows for the one build shuffle. ``cache=False``
         skips the token cache (sampled heavy detection makes the exact
         second pass unnecessary — the corpus then streams through tokenize
         exactly once).
 
-        postings_mode='fused': raw (doc_id, doc_len, term) token rows —
-        duplicates kept (they ARE the term frequency; the block encoder
-        counts them after the shuffle). Pure whole-stage-codegen projection.
+        mode='fused': raw (doc_id, doc_len, term) token rows — duplicates
+        kept (they ARE the term frequency; the block encoder counts them
+        after the shuffle). Pure whole-stage-codegen projection.
 
-        postings_mode='fused_tf' (default): per-doc TF is pre-aggregated
-        MAP-SIDE with zero extra exchange — all of a doc's tokens live in
-        one row before the explode, so (term, tf) pairs come from a pure
-        JVM run-length pass over the doc's sorted token array
-        (_doc_tf_entries). The shuffle then moves one row per distinct
-        (doc, term) instead of one per token occurrence: on natural text
-        (Zipf head terms repeat within documents) that cuts the build's
-        all-to-all volume ~25-45%, which is exactly the scarce resource at
-        cluster scale (and on this bandwidth-capped box). Costs CPU
-        (per-doc array_sort) — the resource that DOES scale with cores.
-        The encoder's pre-aggregated branch consumes the tf column, so
-        blocks are bit-identical to 'fused' (parity-tested)."""
+        mode='fused_tf': per-doc TF is pre-aggregated MAP-SIDE with zero
+        extra exchange — all of a doc's tokens live in one row before the
+        explode, so (term, tf) pairs come from a pure JVM run-length pass
+        over the doc's sorted token array (_doc_tf_entries). The shuffle
+        then moves one row per distinct (doc, term) instead of one per
+        token occurrence: on natural text (Zipf head terms repeat within
+        documents) that cuts the build's all-to-all volume ~25-45%, which
+        is exactly the scarce resource at cluster scale (and on this
+        bandwidth-capped box). Costs CPU (per-doc array_sort) — the
+        resource that DOES scale with cores — so it pays only above the
+        auto_tf_docs crossover. The encoder's pre-aggregated branch
+        consumes the tf column, so blocks are bit-identical to 'fused'
+        (parity-tested).
+
+        ``mode`` is the RESOLVED mode ('fused' | 'fused_tf') — callers
+        with a known batch size pass cfg.resolved_postings_mode(n); None
+        falls back to the config value, with 'auto' defaulting to the
+        scale path ('fused_tf')."""
+        if mode is None:
+            mode = self.cfg.postings_mode
+        if mode == "auto":
+            mode = "fused_tf"
         if cache:
             tokenized = self._tokenize_cached(docs)
         else:
@@ -1083,7 +1104,7 @@ class BM25IndexBuilder:
             tokenized = docs.select(
                 "doc_id", tok_fn(F.col("text")).alias("toks")
             )
-        if self.cfg.postings_mode == "fused_tf":
+        if mode == "fused_tf":
             return tokenized, _doc_tf_entries(tokenized)
         exploded = tokenized.select(
             "doc_id",

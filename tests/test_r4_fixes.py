@@ -304,3 +304,51 @@ def test_fused_tf_incremental_merge_parity(spark, tmp_path):
     got = key(BM25QueryEngine(idx).search_df(qdf, topn=8).collect())
     want = key(BM25QueryEngine(idx_full).search_df(qdf, topn=8).collect())
     assert got == want
+
+
+def test_auto_postings_mode_resolution():
+    """'auto' picks fused below the crossover, fused_tf at/above it;
+    explicit modes pass through untouched."""
+    from similarities_spark.config import EngineConfig
+
+    cfg = EngineConfig()
+    assert cfg.postings_mode == "auto"
+    assert cfg.resolved_postings_mode(cfg.auto_tf_docs - 1) == "fused"
+    assert cfg.resolved_postings_mode(cfg.auto_tf_docs) == "fused_tf"
+    import dataclasses
+
+    for m in ("fused", "fused_tf", "groupby"):
+        c = dataclasses.replace(cfg, postings_mode=m)
+        assert c.resolved_postings_mode(1) == m
+        assert c.resolved_postings_mode(10**9) == m
+    # the mode family never splits the resume lineage
+    keys = {
+        dataclasses.replace(cfg, postings_mode=m).index_key()
+        for m in ("auto", "fused", "fused_tf")
+    }
+    assert len(keys) == 1
+
+
+def test_auto_mode_small_batch_uses_fused_plan(spark, tmp_path):
+    """Below the crossover an 'auto' build must run the raw-explode plan
+    (no array_sort run-length pass) — and still produce a queryable
+    index identical to an explicit fused build."""
+    from similarities_spark.config import EngineConfig
+    from similarities_spark.index.build import BM25IndexBuilder
+    from similarities_spark.sources.synth import synth_webtext_pandas
+
+    df = spark.createDataFrame(synth_webtext_pandas(n_docs=60, seed=9))
+    cfg = EngineConfig(num_term_buckets=4)
+    b = BM25IndexBuilder(spark, cfg)
+    _, rows = b._tokenized_exploded(
+        df.selectExpr("monotonically_increasing_id() as doc_id", "text"),
+        cache=False,
+        mode=cfg.resolved_postings_mode(60),
+    )
+    assert "tf" not in rows.columns  # raw explode, not run-length entries
+    _, rows_big = b._tokenized_exploded(
+        df.selectExpr("monotonically_increasing_id() as doc_id", "text"),
+        cache=False,
+        mode=cfg.resolved_postings_mode(10**6),
+    )
+    assert "tf" in rows_big.columns
