@@ -692,22 +692,42 @@ def q_image_hash_pairs(spark, sf_dir):
 
 
 def q_lsh_cosine_topk(spark, sf_dir):
-    """Approximate ANN — deterministic but not SQL-expressible compactly;
-    driver records the weaker rows-only check (documented)."""
+    """Full approximate-ANN pipeline, now fully oracled: the deterministic
+    candidate stage (ann.lsh_candidates — same planes/probing as
+    ann.lsh_cosine_topk, exact-prefix-parity pytest) composed with an
+    exact-cosine rescore ranked on the ROUNDED cosine, mirroring
+    q_cosine_topk's convention (DuckDB's group-sum order can differ from
+    the engine's fixed fold order in the last ulp, so ranking on raw
+    floats would make tie-breaks oracle-unstable). The library operator
+    keeps its raw-cosine ranking; recall@5 vs brute force stays gated in
+    tests/test_pipeline_ops.py."""
     e = _emb(spark, sf_dir)
     q = e.filter(F.col("vec_id").isin(COSINE_QIDS)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    # dim passed explicitly (synth embeddings are 64-wide) so no driver-side
-    # .first() probe runs at scale; tests/test_pipeline_ops.py gates recall@5
-    # vs the exact cosine_topk baseline at these parameters
-    return ann.lsh_cosine_topk(
-        e, q, k=COSINE_K, n_planes=6, n_tables=8, dim=64
-    ).select(
-        F.col("qid").cast("long"),
-        F.col("rank").cast("long"),
-        F.col("vec_id").cast("long"),
-        "cosine",
+    cand = (
+        ann.lsh_candidates(e, q, n_planes=6, n_tables=8, dim=64, seed=7)
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    scored = (
+        cand.join(v, "vec_id")
+        .join(
+            q.select("qid", F.col("qvec").cast("array<double>").alias("qv")),
+            "qid",
+        )
+        .select(
+            F.col("qid").cast("long"),
+            F.col("vec_id").cast("long"),
+            F.round(ann.cosine(F.col("vec"), F.col("qv")), 6).alias("cosine_r"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= COSINE_K)
+        .select("qid", "rank", "vec_id", "cosine_r")
     )
 
 
@@ -1567,9 +1587,43 @@ FROM h a JOIN h b ON a.media_id < b.media_id
 
     sqls["lsh_candidates"] = _lsh_candidates_sql()
 
-    # lsh_cosine_topk: intentionally no SQL oracle (approximate ANN ranking;
-    # its deterministic candidate-generation prefix IS fully oracled above
-    # as lsh_candidates; driver records the rows-only check here).
+    # lsh_cosine_topk = the candidates stage (same CTE, as a derived
+    # table — DuckDB allows WITH inside a parenthesized subquery) + exact
+    # cosine rescore ranked on the rounded value (same convention and
+    # reasoning as cosine_topk above)
+    sqls["lsh_cosine_topk"] = f"""
+WITH cand AS (SELECT DISTINCT qid, vec_id FROM ({_lsh_candidates_sql()}) c),
+v AS (
+  SELECT vec_id, i, embedding[i]::DOUBLE AS x
+  FROM (SELECT vec_id, embedding,
+               unnest(range(1, len(embedding) + 1)) AS i
+        FROM embeddings)
+),
+q AS (SELECT vec_id AS qid, x AS qx, i FROM v WHERE vec_id IN ({qids})),
+dots AS (
+  SELECT c.qid, c.vec_id,
+         sum(v.x * q.qx) AS dot,
+         sqrt(sum(v.x * v.x)) AS nv,
+         sqrt(sum(q.qx * q.qx)) AS nq
+  FROM cand c
+  JOIN v ON v.vec_id = c.vec_id
+  JOIN q ON q.qid = c.qid AND q.i = v.i
+  GROUP BY c.qid, c.vec_id
+),
+scored AS (
+  SELECT qid::BIGINT AS qid, vec_id::BIGINT AS vec_id,
+         round(dot / (nv * nq), 6) AS cosine_r
+  FROM dots
+)
+SELECT qid, rank, vec_id, cosine_r FROM (
+  SELECT qid, vec_id, cosine_r,
+         row_number() OVER (
+           PARTITION BY qid ORDER BY cosine_r DESC, vec_id
+         )::BIGINT AS rank
+  FROM scored
+) WHERE rank <= {COSINE_K}
+"""
+
     # image_hashes: intentionally no SQL oracle (DCT/median not
     # SQL-expressible; the hash MATH is pytest-oracled against an
     # independent numpy reimplementation, and the relational stage over the
