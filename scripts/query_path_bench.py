@@ -103,6 +103,12 @@ def run_join(engine, qdf, topn):
     return time.time() - t0, n_hits, 1
 
 
+def run_term_centric(engine, qdf, topn):
+    t0 = time.time()
+    n_hits = engine.search_term_centric_df(qdf, topn=topn).count()
+    return time.time() - t0, n_hits, 1
+
+
 def run_staged(engine, qdf, n_queries, batch_size, topn):
     from pyspark.sql import functions as F
 
@@ -174,6 +180,7 @@ def main():
     warm = make_queries_df(spark, terms, 64)
     engine.search_df(warm, topn=args.topn).count()
     engine.search_join_df(warm, topn=args.topn).count()
+    engine.search_term_centric_df(warm, topn=args.topn).count()
 
     def emit(rec):
         line = json.dumps(rec)
@@ -186,6 +193,8 @@ def main():
         qdf = make_queries_df(spark, terms, n)
         for path, runner in (
             ("join", lambda: run_join(engine, qdf, args.topn)),
+            ("term_centric",
+             lambda: run_term_centric(engine, qdf, args.topn)),
             ("staged", lambda: run_staged(
                 engine, qdf, n, args.batch_size, args.topn)),
         ):

@@ -347,6 +347,187 @@ class BM25QueryEngine:
             qtok, qblocks, queries_df, topn, fan_out, include_text
         )
 
+    def search_term_centric_df(
+        self,
+        queries_df: DataFrame,
+        topn: int = 10,
+        include_text: bool = False,
+    ) -> DataFrame:
+        """Term-centric batch scoring: decode and score each (term, block)
+        ONCE per batch, regardless of how many queries share the term.
+
+        The cogroup paths (search_df / search_join_df) replicate a term's
+        block payloads through the exchange once per query containing it —
+        the right plan for small or low-overlap batches, where MaxScore
+        block skipping prunes most of the work per query. For LARGE
+        batches with Zipf-shaped term overlap (10^5 web queries over a
+        shared vocabulary), payload replication dominates: a term shared
+        by 300 queries ships its postings 300x. This path instead:
+
+          1. per-(query, term) multiplicity ``mult`` (duplicate query
+             tokens kept — reference semantics);
+          2. vocab-sized per-term values (variant idf via the same
+             math.log path as the scorer; BM25Plus unmatched baseline);
+          3. every matching block decoded ONCE in a (term, salt)
+             applyInPandas kernel -> narrow (term, doc_id, contrib) rows,
+             contrib = matched minus unmatched baseline so the final sum
+             is baseline-shifted exactly like the fan-out algebra;
+          4. contribs x query-term weights join (the only place work
+             scales with query count — rows are 24 bytes, not payloads),
+             partial-aggregated sum to (query_id, doc_id) scores;
+          5. per-query B_q baseline re-added, then the shared
+             padding + ranking tail (_pad_and_rank).
+
+        Trade-off: no per-query MaxScore pruning (every posting of every
+        batch term is scored once), so latency for a SINGLE query is
+        worse — throughput for overlapping batches is the win. Results
+        match search_df to float-summation order (parity-tested at
+        rel 1e-9; the reference accumulates per token, Spark's sum is
+        order-free)."""
+        import numpy as np
+
+        from similarities_spark import variants as _variants
+        from similarities_spark.index import codec as _codec
+
+        cfg = self.cfg
+        variant, delta = cfg.variant, cfg.resolved_delta()
+        avgdl, n_docs = self.index.avgdl, self.index.n_docs
+        k1, b = cfg.k1, cfg.b
+
+        tok_udf = make_tokenizer_udf("query")
+        qtok = queries_df.select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.explode(tok_udf(F.col("text"))).alias("term"),
+        )
+        qw = qtok.groupBy("query_id", "term").agg(
+            F.count(F.lit(1)).alias("mult")
+        )
+
+        # vocab-sized per-term values: variant idf (math.log, same C-libm
+        # path as the scorer) and the per-occurrence unmatched baseline
+        tstats = (
+            qw.select("term")
+            .distinct()
+            .join(self.index.term_stats(), "term", "inner")
+        )
+
+        def tvals_fn(it):
+            f = (
+                _variants.idf_fn(variant, n_docs)
+                if variant != "okapi"
+                else None
+            )
+            for pdf in it:
+                if f is None:
+                    idf_v = pdf["idf"].to_numpy(dtype="float64")
+                else:
+                    idf_v = np.array(
+                        [f(int(d)) for d in pdf["df"]], dtype="float64"
+                    )
+                base = np.array(
+                    [
+                        _variants.unmatched_contrib(variant, iv, delta)
+                        for iv in idf_v
+                    ],
+                    dtype="float64",
+                )
+                yield pd.DataFrame(
+                    {"term": pdf["term"], "idf_v": idf_v, "base": base}
+                )
+
+        tvals = tstats.mapInPandas(
+            tvals_fn, "term string, idf_v double, base double"
+        ).withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("term"), F.lit(cfg.num_term_buckets)).cast("int"),
+        )
+
+        # each matching block exactly ONCE: broadcast the tiny term table
+        # into the bucket-partitioned blocks scan (runtime partition
+        # pruning on the broadcast join keys)
+        blocks = self.index.blocks().select(
+            "bucket", "term", "salt", "block_id", "n_postings", "payload"
+        )
+        tblocks = blocks.join(F.broadcast(tvals), ["bucket", "term"], "inner")
+
+        def contrib_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            term = pdf["term"].iloc[0]
+            idf_v = float(pdf["idf_v"].iloc[0])
+            base = float(pdf["base"].iloc[0])
+            ids_, tfs_, dls_ = _codec.decode_blocks_batch(
+                pdf["payload"].tolist(),
+                pdf["n_postings"].to_numpy(dtype="int64"),
+            )
+            c = _variants.matched_contribs(
+                variant, tfs_, dls_, idf_v, avgdl, k1, b, delta
+            )
+            return pd.DataFrame(
+                {"term": term, "doc_id": ids_, "contrib": c - base}
+            )
+
+        contribs = tblocks.groupBy("term", "salt").applyInPandas(
+            contrib_group, "term string, doc_id long, contrib double"
+        )
+
+        # the only stage whose row count scales with the query set — and
+        # the rows are narrow scalars, not payloads; partial (map-side)
+        # aggregation combines same-(query, doc) parts before the exchange
+        parts = contribs.join(qw, "term").select(
+            "query_id",
+            "doc_id",
+            (F.col("mult") * F.col("contrib")).alias("part"),
+        )
+        msum = parts.groupBy("query_id", "doc_id").agg(
+            F.sum("part").alias("mscore")
+        )
+        bq = (
+            qw.join(tvals.select("term", "base"), "term", "inner")
+            .groupBy("query_id")
+            .agg(F.sum(F.col("mult") * F.col("base")).alias("bq"))
+        )
+        scored_tc = msum.join(bq, "query_id", "left").select(
+            "query_id",
+            "doc_id",
+            (F.col("mscore") + F.coalesce(F.col("bq"), F.lit(0.0))).alias(
+                "score"
+            ),
+            F.coalesce(F.col("bq"), F.lit(0.0)).alias("pad_score"),
+        )
+
+        # truncate to per-query top-k BEFORE the padding tail: the rank
+        # filter compiles to WindowGroupLimit (partial per-partition limits
+        # ahead of the final sort), so the full matched set — every doc
+        # any query matched — never rides a global sort. Padding flags are
+        # then decidable from the TRUNCATED counts: truncated < topn iff
+        # matched < topn, and when padding engages the truncated count IS
+        # the exact matched count (pad-pool sizing only reads it then).
+        w_ord = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        wq = Window.partitionBy("query_id")
+        topk = scored_tc.withColumn(
+            "rank", F.row_number().over(w_ord)
+        ).filter(F.col("rank") <= topn)
+        scored = topk.select(
+            "query_id",
+            F.lit(0).cast("long").alias("range_id"),
+            "doc_id",
+            "score",
+            F.count(F.lit(1)).over(wq).cast("long").alias("n_matched"),
+            (F.count(F.lit(1)).over(wq) < F.lit(topn)).alias("needs_pad"),
+            "pad_score",
+        )
+        self.last_fan_out = None
+        hits = self._pad_and_rank(queries_df, scored, topn)
+        if include_text:
+            docs = self.index.docs().select(
+                "doc_id", F.col("text").alias("corpus_doc")
+            )
+            hits = hits.join(docs, "doc_id", "left").select(
+                "query_id", "rank", "doc_id", "score", "corpus_doc"
+            )
+        return hits
+
     def _attach_token_dfs(
         self, qtok: DataFrame, qstats: DataFrame, broadcast_stats: bool = True
     ) -> DataFrame:
