@@ -14,6 +14,12 @@ local[SPARK_GRAFT_CPUS]):
 `value` sums exactly these phases — comparable round over round.
 
 Informational keys (NOT in the total):
+  value_normalized : value x (same-window memcpy GB/s / 13.0 reference) —
+              the bandwidth-normalized wall, comparable across windows on
+              this co-tenant box (no quiet window exists; r4 proved it).
+  index_build_stages / resolved_postings_mode : the headline build's
+              per-stage walls and the physical plan `auto` resolved to —
+              a build regression is attributable to a named stage.
   calib     : {pre, post} single-thread memcpy/cpu probes (scripts/calib.py)
               — the same-window noise control. A suite regression with a
               collapsed memcpy probe is the multi-tenant box, not the engine.
@@ -185,9 +191,15 @@ def main():
         lambda: textops.add_text_features(docs).select(F.sum("n_tokens")).collect(),
     )
 
-    # --- informational: fattest-term query, fan-out off vs auto-engaged ---
-    # (kernel-rate calibration picks the threshold; a tiny target task makes
-    # auto fan-out engage even at this SF so the path is exercised for real)
+    # --- informational: fattest-term query, fan-out off vs auto ---
+    # The auto engine runs the PRODUCTION heuristic: kernel-rate-derived
+    # threshold with the per-task budget floored at scheduler overhead
+    # (cfg.fan_out_min_task_s). At this SF the floor means auto correctly
+    # declines to shard (5k docs is far below one task-second of kernel
+    # work) — auto_s must track off_s, never invert (the r4 demo forced a
+    # 1 ms task budget and published auto 36% SLOWER; pytest
+    # test_r5_fixes.py pins non-inversion). forced8_s exercises the
+    # sharded path itself (fan_out=8 explicit) for the record.
     fat = {}
     fat_q = " ".join(terms[:6])  # the 6 fattest terms: max candidate volume
     eng_off = BM25QueryEngine(index)
@@ -199,13 +211,20 @@ def main():
     clock("auto_s", lambda: eng_auto.search_df(qdf, topn=10).count(), into=fat)
     fat["fan_out"] = eng_auto.last_fan_out
     fat["calibration"] = eng_auto.last_calibration
+    eng_forced = BM25QueryEngine(index)
+    clock(
+        "forced8_s",
+        lambda: eng_forced.search_df(qdf, topn=10, fan_out=8).count(),
+        into=fat,
+    )
 
     # --- informational: same-process build-plan A/B ---
     # (fresh dirs, warmed JVM, identical input — plan deltas measured
     # inside ONE window so they are attributable): groupby = the r1
     # two-exchange plan, fused = the r2 single-exchange plan, fused_tf =
-    # the r4 single-exchange plan with map-side per-doc TF (the default;
-    # also what `index_build` above timed)
+    # the r4 single-exchange plan with map-side per-doc TF. The plan
+    # `index_build` above actually ran is recorded in the JSON as
+    # `resolved_postings_mode` (auto size-resolves per batch).
     ab = {}
     g_dir = tempfile.mkdtemp(prefix="bench_ab_g_")
     f_dir = tempfile.mkdtemp(prefix="bench_ab_f_")
@@ -240,9 +259,20 @@ def main():
     calib_post = probe()
 
     total = round(sum(timings.values()), 3)
+    # Self-normalized wall (VERDICT r4 'Next round' #2): six hours of r4
+    # probing proved no quiet window exists on this co-tenant box, so every
+    # raw wall is scaled by the same-window bandwidth ratio against the
+    # r1-era reference ceiling (13 GB/s). value stays the raw comparable
+    # number; value_normalized estimates what the same run costs at the
+    # reference bandwidth. mean(pre,post) guards against a window that
+    # flips mid-suite.
+    memcpy_ref = 13.0
+    memcpy_now = (calib_pre["memcpy_gbps"] + calib_post["memcpy_gbps"]) / 2
     out = {
         "metric": "bm25_index_and_query_suite_wall",
         "value": total,
+        "value_normalized": round(total * memcpy_now / memcpy_ref, 3),
+        "memcpy_ref_gbps": memcpy_ref,
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
@@ -250,6 +280,11 @@ def main():
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / timings["index_build"], 1),
         "queries_per_sec": round(200 / timings["bm25_batch"], 1),
+        # per-stage walls of the headline build + the physical plan it ran
+        # (VERDICT r4 'Next round' #1a / 'wrong' #1,#3): the regressed
+        # stage is named in-artifact, not reconstructed after the fact
+        "index_build_stages": index.meta.get("stage_wall_s"),
+        "resolved_postings_mode": index.meta.get("resolved_postings_mode"),
         "calib": {"pre": calib_pre, "post": calib_post},
         "ab": ab,
         "fat_query": fat,

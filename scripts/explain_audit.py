@@ -122,6 +122,18 @@ def main():
         ("distributed join query path (search_join_df)", grab_plan(jp_hits))
     )
 
+    # 7) term-centric path (search_term_centric_df): each (term, block)
+    # decoded once per batch. The plan must broadcast the vocab-sized
+    # per-term values into the blocks scan (no blocks shuffle before the
+    # decode kernel), truncate per-query top-k via WindowGroupLimit, and
+    # read only the decode columns from blocks (no tf_max/dl metadata —
+    # there is no MaxScore pruning on this path, so the metadata columns
+    # must be pruned from the scan entirely).
+    tc_hits = engine.search_term_centric_df(qdf, topn=10)
+    sections.append(
+        ("term-centric query path (search_term_centric_df)", grab_plan(tc_hits))
+    )
+
     checks = []
     qp = sections[0][1]
     checks.append(("query path broadcasts query terms (no index shuffle)",
@@ -176,6 +188,23 @@ def main():
     checks.append(
         ("join query path joins the term_stats scan (no driver staging)",
          "term_stats" in jp and "Join" in jp)
+    )
+    tp = sections[7][1]
+    checks.append(
+        ("term-centric path broadcasts term values into blocks scan",
+         "BroadcastHashJoin" in tp)
+    )
+    checks.append(
+        ("term-centric top-k truncation compiles to WindowGroupLimit",
+         "WindowGroupLimit" in tp)
+    )
+    checks.append(
+        ("term-centric blocks scan prunes MaxScore metadata columns",
+         "tf_max" not in tp and "dl_max" not in tp)
+    )
+    checks.append(
+        ("term-centric path scans term_stats distributed (no driver staging)",
+         "term_stats" in tp and "Join" in tp)
     )
 
     os.makedirs("BENCH", exist_ok=True)

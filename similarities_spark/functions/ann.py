@@ -128,10 +128,15 @@ def _lsh_candidate_rows(
     deterministic given the seed (the planes derive from RandomState), so
     the distinct projection is externally verifiable (lsh_candidates)."""
     if dim is None:
-        # convenience fallback ONLY (reads one row on the driver) — callers
-        # at scale should pass dim explicitly; array columns don't carry
-        # their length in the schema
-        dim = len(vectors.select(vec_col).first()[0])
+        # plain array columns don't carry their length in the schema, and a
+        # driver-side row probe on a 100 TB table is the wrong place to
+        # learn it — the embedding dimension is a property of the pipeline,
+        # so the caller must state it (hyperplanes are seeded from (dim,
+        # n_planes, seed); guessing dim would silently change the buckets)
+        raise ValueError(
+            "lsh_candidates/lsh_cosine_topk require dim= (the embedding "
+            "dimensionality); it determines the seeded hyperplane tables"
+        )
     tables = [
         _hyperplanes(dim, n_planes, seed + 101 * t) for t in range(n_tables)
     ]
@@ -179,7 +184,7 @@ def lsh_candidates(
     queries: DataFrame,
     n_planes: int = 6,
     n_tables: int = 8,
-    dim: Optional[int] = None,
+    dim: Optional[int] = None,  # REQUIRED (keyword for call-site clarity)
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -208,7 +213,7 @@ def lsh_cosine_topk(
     k: int = 10,
     n_planes: int = 6,
     n_tables: int = 8,
-    dim: Optional[int] = None,
+    dim: Optional[int] = None,  # REQUIRED (keyword for call-site clarity)
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -141,13 +141,19 @@ class BM25QueryEngine:
             return cfg.fan_out_threshold
         if self._resolved_fan_out_threshold is None:
             rate = _measure_scorer_rate(cfg, self.index.avgdl)
+            # floor the per-task budget at scheduler+Arrow overhead: a task
+            # shorter than that costs more to launch than it saves, so a
+            # sub-floor target would derive a threshold that makes auto
+            # fan-out a pessimization (the r4 bench demo inversion)
+            eff_target = max(cfg.fan_out_target_task_s, cfg.fan_out_min_task_s)
             self._resolved_fan_out_threshold = max(
-                1_000, int(rate * cfg.fan_out_target_task_s)
+                1_000, int(rate * eff_target)
             )
             self.last_calibration = {
                 "scorer_postings_per_s": round(rate, 1),
                 "fan_out_threshold": self._resolved_fan_out_threshold,
                 "target_task_s": cfg.fan_out_target_task_s,
+                "effective_target_task_s": eff_target,
             }
         return self._resolved_fan_out_threshold
 
