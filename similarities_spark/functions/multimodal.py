@@ -34,7 +34,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from similarities_spark.functions import mediacodec
+from similarities_spark.functions import jpegcodec, mediacodec
 
 IMAGE_FEATURE_SCHEMA = StructType(
     [
@@ -47,14 +47,16 @@ IMAGE_FEATURE_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image payload -> H x W x 3 uint8. PNG via the stdlib codec; extend
-    here for other formats (a PIL fallback slots in behind the signature
-    check without touching any operator)."""
+    """Image payload -> H x W x 3 uint8. PNG and baseline JPEG via the
+    stdlib codecs; extend here for other formats (a PIL fallback slots in
+    behind the signature check without touching any operator)."""
     if payload[: len(mediacodec.PNG_SIGNATURE)] == mediacodec.PNG_SIGNATURE:
         return mediacodec.decode_png(payload)
+    if payload[: len(jpegcodec.JPEG_SOI)] == jpegcodec.JPEG_SOI:
+        return jpegcodec.decode_jpeg(bytes(payload))
     raise ValueError(
         f"unsupported image payload (magic {bytes(payload[:4])!r}); "
-        "PNG is the in-container format"
+        "PNG and baseline JPEG are the in-container formats"
     )
 
 
