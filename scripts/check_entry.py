@@ -35,6 +35,10 @@ def normalize(df: pd.DataFrame) -> list:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    # the media oracles (image_hash_pairs, audio_features) embed a
+    # driver-side fixture path for the sf the ORACLE runs at; pin it to the
+    # sf we compare at, or a sf0.001 check would read sf0.01 reference rows
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "16")

@@ -204,6 +204,16 @@ def png_from_bytes(data: bytes) -> bytes:
     return encode_png(pixels_from_bytes(data))
 
 
+def jpeg_from_bytes(data: bytes, quality: int = 92) -> bytes:
+    """Arbitrary bytes -> real baseline-JPEG payload of the derived
+    pseudo-image (lossy: decode gives approximately, not exactly, the
+    pixels_from_bytes array — both sides of an oracle must decode the
+    BYTES, not re-derive the pixels)."""
+    from similarities_spark.functions import jpegcodec
+
+    return jpegcodec.encode_jpeg(pixels_from_bytes(data), quality=quality)
+
+
 def wav_from_bytes(
     data: bytes, sample_rate: int = 8000, max_samples: int = 4000
 ) -> bytes:

@@ -305,12 +305,14 @@ def frame_sample(
     id_col: str = "media_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Video frame sampling: one row per sampled frame. The in-container
-    video format is a concatenated-PNG frame stream (MJPEG-analog); each
-    sampled frame is DECODED and fingerprinted from its pixel bytes, so
-    identical frames fingerprint identically regardless of how the encoder
-    compressed them. The explode shape (media_id, frame_idx, frame_fp,
-    width, height) is what a real ffmpeg kernel would emit."""
+    """Video frame sampling: one row per sampled frame. Two stream formats,
+    dispatched per payload on the leading magic: real MJPEG (concatenated
+    baseline JPEG frames — split at EOI markers, which byte stuffing keeps
+    out of entropy data) and a concatenated-PNG frame stream (the lossless
+    analog). Each sampled frame is DECODED and fingerprinted from its pixel
+    bytes, so identical frames fingerprint identically regardless of how
+    the encoder compressed them. The explode shape (media_id, frame_idx,
+    frame_fp, width, height) is what a real ffmpeg kernel would emit."""
 
     schema = StructType(
         [
@@ -324,6 +326,33 @@ def frame_sample(
 
     sig = mediacodec.PNG_SIGNATURE
 
+    def split_frames(raw: bytes) -> list:
+        """Frame byte-ranges for either stream format. PNG streams split at
+        the 8-byte signature (can't occur inside a chunk stream by length
+        framing); MJPEG splits AFTER each EOI marker (0xFFD9 — byte
+        stuffing and RST codes keep it out of entropy-coded data, the
+        standard MJPEG frame boundary)."""
+        bounds = []
+        if raw[: len(sig)] == sig:
+            at = raw.find(sig)
+            while at != -1:
+                bounds.append(at)
+                at = raw.find(sig, at + 1)
+            return [
+                (s, e) for s, e in zip(bounds, bounds[1:] + [len(raw)])
+            ]
+        if raw[:2] == jpegcodec.JPEG_SOI:
+            start = 0
+            out = []
+            while start < len(raw):
+                eoi = raw.find(b"\xff\xd9", start)
+                if eoi == -1:
+                    break
+                out.append((start, eoi + 2))
+                start = eoi + 2
+            return out
+        return []
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
@@ -331,17 +360,10 @@ def frame_sample(
             rows = {f.name: [] for f in schema.fields}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(payload) if payload is not None else b""
-                # split the stream at PNG signatures -> frame payloads
-                offs = []
-                at = raw.find(sig)
-                while at != -1:
-                    offs.append(at)
-                    at = raw.find(sig, at + 1)
-                bounds = offs + [len(raw)]
-                for fi in range(0, len(offs), every_n):
-                    img = mediacodec.decode_png(
-                        raw[bounds[fi] : bounds[fi + 1]]
-                    )
+                frames = split_frames(raw)
+                for fi in range(0, len(frames), every_n):
+                    s, e = frames[fi]
+                    img = decode_image(raw[s:e])
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(fi)
                     rows["frame_fp"].append(

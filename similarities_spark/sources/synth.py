@@ -152,24 +152,28 @@ def synth_webtext_distributed(spark, n_docs: int, seed: int = 42, partitions: in
 
 def synth_media_pandas(n_rows: int = 50, seed: int = 42, frames_max: int = 6):
     """Deterministic synthetic media table with REAL payloads:
-        (media_id:int64, image:binary PNG, audio:binary WAV PCM,
-         video:binary concatenated-PNG frame stream)
-    Each payload derives from a seeded per-row key via the stdlib codecs in
-    functions/mediacodec.py, so tests and oracles can re-derive the exact
-    bytes driver-side with no media libraries."""
+        (media_id:int64, image:binary PNG or baseline JPEG,
+         audio:binary WAV PCM,
+         video:binary MJPEG or concatenated-PNG frame stream)
+    Formats alternate by media_id (even: PNG / PNG-stream, odd: JPEG /
+    MJPEG) so every pipeline over this table exercises the mixed-format
+    dispatch. Each payload derives from a seeded per-row key via the
+    stdlib codecs in functions/mediacodec.py + jpegcodec.py, so tests and
+    oracles can re-derive the exact bytes driver-side with no media
+    libraries."""
     from similarities_spark.functions import mediacodec as mc
 
     rows = {"media_id": [], "image": [], "audio": [], "video": []}
     for i in range(n_rows):
         key = f"{seed}|{i}".encode("utf-8")
+        enc = mc.png_from_bytes if i % 2 == 0 else mc.jpeg_from_bytes
         rows["media_id"].append(i)
-        rows["image"].append(mc.png_from_bytes(key))
+        rows["image"].append(enc(key))
         rows["audio"].append(mc.wav_from_bytes(key))
         n_frames = 1 + (i % frames_max)
         rows["video"].append(
             b"".join(
-                mc.png_from_bytes(key + b"|frame|%d" % f)
-                for f in range(n_frames)
+                enc(key + b"|frame|%d" % f) for f in range(n_frames)
             )
         )
     return pd.DataFrame(rows)

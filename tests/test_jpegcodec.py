@@ -145,6 +145,24 @@ def test_decode_image_dispatches_jpeg():
     assert np.abs(out.astype(int) - img.astype(int)).mean() < 1.0
 
 
+def test_frame_sample_mjpeg_stream(spark):
+    from similarities_spark.functions.multimodal import frame_sample
+
+    frames = [_gradient(16, 16 + 8 * k) for k in range(5)]
+    mjpeg = b"".join(jc.encode_jpeg(f, quality=92) for f in frames)
+    df = spark.createDataFrame(
+        [(0, bytearray(mjpeg))], "media_id: long, payload: binary"
+    )
+    rows = sorted(
+        frame_sample(df, every_n=2).collect(), key=lambda r: r["frame_idx"]
+    )
+    # frames 0, 2, 4 sampled; widths follow the per-frame geometry, which
+    # proves the EOI split found real frame boundaries
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    assert [r["width"] for r in rows] == [16, 32, 48]
+    assert len({r["frame_fp"] for r in rows}) == 3
+
+
 def test_image_features_mixed_png_jpeg(spark):
     from similarities_spark.functions import mediacodec as mc
     from similarities_spark.functions.multimodal import image_features

@@ -241,8 +241,13 @@ def test_synth_media_payloads_are_real(spark):
     rows = df.collect()
     assert len(rows) == 6
     for r in rows:
-        img = mc.decode_png(bytes(r["image"]))
+        # even ids are PNG, odd ids baseline JPEG — decode_image dispatches
+        img = multimodal.decode_image(bytes(r["image"]))
         assert img.ndim == 3 and img.shape[2] == 3
+        if r["media_id"] % 2 == 0:
+            assert bytes(r["image"])[:8] == mc.PNG_SIGNATURE
+        else:
+            assert bytes(r["image"])[:2] == b"\xff\xd8"
         x, rate = mc.decode_wav(bytes(r["audio"]))
         assert rate == 8000 and x.size >= 400
     # the media table drives all three operators end-to-end
