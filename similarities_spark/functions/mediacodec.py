@@ -184,6 +184,91 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# AVI (RIFF) container for MJPEG — the format webcams/ffmpeg '-c:v mjpeg'
+# actually produce. Public spec: Microsoft RIFF/AVI (also OpenDML). Only the
+# container is handled here; frame payloads are baseline JPEGs decoded by
+# jpegcodec. Writer emits the minimal spec-complete layout (hdrl with
+# avih+strl, movi with 00dc chunks, idx1); reader walks the chunk tree and
+# is tolerant of extra chunks/lists it does not know.
+
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""  # RIFF chunks are word-aligned
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _riff_list(list_type: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + body)
+
+
+def encode_avi_mjpeg(
+    frames: list, width: int, height: int, fps: int = 10
+) -> bytes:
+    """JPEG frame payloads (already-encoded bytes) -> AVI/MJPEG file."""
+    if not frames:
+        raise ValueError("encode_avi_mjpeg: no frames")
+    us_per_frame = 1_000_000 // fps
+    max_bytes = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        us_per_frame, max_bytes * fps, 0, 0x10,  # AVIF_HASINDEX
+        len(frames), 0, 1, max_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack(
+            "<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames),
+            max_bytes, 0xFFFFFFFF, 0, 0,
+        ) + struct.pack("<HHHH", 0, 0, width, height)
+    )
+    # BITMAPINFOHEADER
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0x47504A4D,  # 'MJPG'
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh)
+                     + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b"movi"
+    idx = b""
+    for f in frames:
+        off = len(movi_body)  # offset of the 00dc fourcc from 'movi' start
+        movi_body += _riff_chunk(b"00dc", f)
+        idx += b"00dc" + struct.pack("<III", 0x10, off, len(f))
+    movi = _riff_chunk(b"LIST", movi_body)
+    idx1 = _riff_chunk(b"idx1", idx)
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return _riff_chunk(b"RIFF", riff_body)
+
+
+def avi_mjpeg_frames(payload: bytes) -> list:
+    """AVI bytes -> list of JPEG frame payloads ('00dc'/'00db' video
+    chunks of stream 0, in file order). Walks the RIFF tree; skips chunks
+    and lists it does not recognize, so index-less or OpenDML-extended
+    files still parse."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload (bad RIFF/AVI magic)")
+    frames = []
+
+    def walk(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            fourcc = buf[pos:pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+            body_start = pos + 8
+            body_end = min(body_start + size, end)
+            if fourcc in (b"RIFF", b"LIST"):
+                walk(buf, body_start + 4, body_end)  # skip the list type
+            elif fourcc in (b"00dc", b"00db") and size > 0:
+                frames.append(buf[body_start:body_end])
+            pos = body_start + size + (size % 2)  # word alignment
+
+    walk(payload, 0, len(payload))
+    return frames
+
+
+# ---------------------------------------------------------------------------
 # deterministic synthetic-media generators (seeded from arbitrary bytes)
 
 

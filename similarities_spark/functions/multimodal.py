@@ -327,28 +327,31 @@ def frame_sample(
     sig = mediacodec.PNG_SIGNATURE
 
     def split_frames(raw: bytes) -> list:
-        """Frame byte-ranges for either stream format. PNG streams split at
-        the 8-byte signature (can't occur inside a chunk stream by length
-        framing); MJPEG splits AFTER each EOI marker (0xFFD9 — byte
-        stuffing and RST codes keep it out of entropy-coded data, the
-        standard MJPEG frame boundary)."""
-        bounds = []
+        """Frame payloads for any supported stream format. AVI containers
+        yield their '00dc' MJPEG chunks; bare MJPEG splits AFTER each EOI
+        marker (0xFFD9 — byte stuffing and RST codes keep it out of
+        entropy-coded data, the standard MJPEG frame boundary); PNG
+        streams split at the 8-byte signature (length framing keeps it out
+        of chunk bodies)."""
+        if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+            return mediacodec.avi_mjpeg_frames(raw)
         if raw[: len(sig)] == sig:
+            bounds = []
             at = raw.find(sig)
             while at != -1:
                 bounds.append(at)
                 at = raw.find(sig, at + 1)
             return [
-                (s, e) for s, e in zip(bounds, bounds[1:] + [len(raw)])
+                raw[s:e] for s, e in zip(bounds, bounds[1:] + [len(raw)])
             ]
         if raw[:2] == jpegcodec.JPEG_SOI:
-            start = 0
             out = []
+            start = 0
             while start < len(raw):
                 eoi = raw.find(b"\xff\xd9", start)
                 if eoi == -1:
                     break
-                out.append((start, eoi + 2))
+                out.append(raw[start:eoi + 2])
                 start = eoi + 2
             return out
         return []
@@ -362,8 +365,7 @@ def frame_sample(
                 raw = bytes(payload) if payload is not None else b""
                 frames = split_frames(raw)
                 for fi in range(0, len(frames), every_n):
-                    s, e = frames[fi]
-                    img = decode_image(raw[s:e])
+                    img = decode_image(frames[fi])
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(fi)
                     rows["frame_fp"].append(

@@ -163,6 +163,35 @@ def test_frame_sample_mjpeg_stream(spark):
     assert len({r["frame_fp"] for r in rows}) == 3
 
 
+def test_avi_mjpeg_container_round_trip():
+    from similarities_spark.functions import mediacodec as mc
+
+    frames = [jc.encode_jpeg(_gradient(16, 24), quality=90) for _ in range(4)]
+    avi = mc.encode_avi_mjpeg(frames, width=24, height=16, fps=5)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    got = mc.avi_mjpeg_frames(avi)
+    assert got == frames  # container is lossless over the JPEG payloads
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        mc.avi_mjpeg_frames(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_frame_sample_avi_container(spark):
+    from similarities_spark.functions import mediacodec as mc
+    from similarities_spark.functions.multimodal import frame_sample
+
+    frames = [_gradient(16, 16 + 8 * k) for k in range(5)]
+    payloads = [jc.encode_jpeg(f, quality=92) for f in frames]
+    avi = mc.encode_avi_mjpeg(payloads, width=48, height=16)
+    df = spark.createDataFrame(
+        [(7, bytearray(avi))], "media_id: long, payload: binary"
+    )
+    rows = sorted(
+        frame_sample(df, every_n=2).collect(), key=lambda r: r["frame_idx"]
+    )
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    assert [r["width"] for r in rows] == [16, 32, 48]
+
+
 def test_image_features_mixed_png_jpeg(spark):
     from similarities_spark.functions import mediacodec as mc
     from similarities_spark.functions.multimodal import image_features
