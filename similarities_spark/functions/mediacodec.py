@@ -299,6 +299,24 @@ def jpeg_from_bytes(data: bytes, quality: int = 92) -> bytes:
     return jpegcodec.encode_jpeg(pixels_from_bytes(data), quality=quality)
 
 
+def video_from_bytes(data: bytes, frames_max: int = 5) -> bytes:
+    """Arbitrary bytes -> deterministic video payload in one of the three
+    supported stream formats, chosen by the derived seed (seed % 3:
+    0 = concatenated-PNG stream, 1 = bare MJPEG, 2 = AVI/MJPEG container),
+    so a corpus-derived video column exercises every container path."""
+    seed = int.from_bytes(data[:8].ljust(8, b"\0"), "little")
+    n_frames = 1 + (seed >> 8) % frames_max
+    keys = [data + b"|frame|%d" % f for f in range(n_frames)]
+    fmt = seed % 3
+    if fmt == 0:
+        return b"".join(png_from_bytes(k) for k in keys)
+    jpegs = [jpeg_from_bytes(k) for k in keys]
+    if fmt == 1:
+        return b"".join(jpegs)
+    h, w = pixels_from_bytes(keys[0]).shape[:2]
+    return encode_avi_mjpeg(jpegs, width=w, height=h)
+
+
 def wav_from_bytes(
     data: bytes, sample_rate: int = 8000, max_samples: int = 4000
 ) -> bytes:
