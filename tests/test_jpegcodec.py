@@ -192,6 +192,28 @@ def test_frame_sample_avi_container(spark):
     assert [r["width"] for r in rows] == [16, 32, 48]
 
 
+def test_video_from_bytes_rotates_formats_deterministically():
+    from similarities_spark.functions import mediacodec as mc
+
+    seen = set()
+    for i in range(12):
+        key = f"vid|{i}".encode()
+        payload = mc.video_from_bytes(key)
+        assert payload == mc.video_from_bytes(key)  # deterministic
+        if payload[:4] == b"RIFF":
+            seen.add("avi")
+            frames = mc.avi_mjpeg_frames(payload)
+        elif payload[:8] == mc.PNG_SIGNATURE:
+            seen.add("png")
+            frames = [payload]  # at least one frame by construction
+        else:
+            assert payload[:2] == b"\xff\xd8"
+            seen.add("mjpeg")
+            frames = [payload]
+        assert len(frames) >= 1
+    assert seen == {"avi", "png", "mjpeg"}  # all three containers emitted
+
+
 def test_image_features_mixed_png_jpeg(spark):
     from similarities_spark.functions import mediacodec as mc
     from similarities_spark.functions.multimodal import image_features

@@ -268,6 +268,31 @@ def test_synth_media_payloads_are_real(spark):
 # ----------------------------------------------------------------- streaming
 
 
+def test_media_scan_prunes_unused_columns(spark, tmp_path):
+    """The media table carries three fat binary columns; an image-only
+    pipeline must push a (media_id, image) projection into the parquet
+    ReadSchema — at 100 TB reading audio+video bytes for an image job is
+    the difference between a scan and three. mapInPandas must not defeat
+    column pruning."""
+    from similarities_spark.sources.synth import synth_media_df
+
+    path = str(tmp_path / "media.parquet")
+    synth_media_df(spark, n_rows=4, seed=5).write.parquet(path)
+    feats = multimodal.image_features(
+        spark.read.parquet(path).select(
+            "media_id", F.col("image").alias("payload")
+        )
+    )
+    plan = feats._jdf.queryExecution().executedPlan().toString()
+    read_schema = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    assert read_schema, plan
+    line = read_schema[0]
+    assert "image" in line and "media_id" in line
+    assert "audio" not in line and "video" not in line, line
+
+
 def test_windowed_event_counts_batch_and_stream(spark, tmp_path):
     base = datetime.datetime(2024, 1, 1, 0, 0, 0)
     rows = [
