@@ -184,6 +184,173 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# GIF (87a/89a) — the third of the big-three web image formats. Public
+# spec: W3C/CompuServe GIF89a. Decoder: full variable-width LZW, global and
+# local color tables, interlacing, transparency-less first frame of
+# animated streams (frame extraction for animation would mirror
+# frame_sample's container dispatch). Encoder: minimal spec-valid stream —
+# 256-entry global table, literal 9-bit LZW codes with periodic clear
+# codes (the standard "uncompressed GIF" technique), used by tests/synth.
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list:
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    dictionary = [(i,) for i in range(clear)] + [None, None]
+    out = []
+    prev = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while len(out) < n_pixels and pos <= len(data):
+        while nbits < width and pos < len(data):
+            acc |= data[pos] << nbits  # GIF packs LSB-first
+            nbits += 8
+            pos += 1
+        if nbits < width:
+            break
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            dictionary = [(i,) for i in range(clear)] + [None, None]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(dictionary) and dictionary[code] is not None:
+            entry = dictionary[code]
+        elif code == len(dictionary) and prev is not None:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError("GIF: corrupt LZW stream (bad code)")
+        out.extend(entry)
+        if prev is not None and len(dictionary) < 4096:
+            dictionary.append(prev + (entry[0],))
+            if len(dictionary) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out[:n_pixels]
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF bytes -> H x W x 3 uint8 of the FIRST image frame."""
+    if payload[:6] not in GIF_MAGICS:
+        raise ValueError("not a GIF payload (bad signature)")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(
+            payload[pos:pos + 3 * n], dtype=np.uint8
+        ).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack(
+                "<HHHHB", payload[pos + 1:pos + 10]
+            )
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = np.frombuffer(
+                    payload[pos:pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF: image has no color table")
+            min_code = payload[pos]
+            pos += 1
+            lzw = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                lzw += payload[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            idx = np.array(
+                _gif_lzw_decode(min_code, bytes(lzw), w * h), dtype=np.int64
+            )
+            if idx.size != w * h:
+                raise ValueError("GIF: LZW stream short of pixel count")
+            img = table[np.clip(idx, 0, len(table) - 1)].reshape(h, w, 3)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                order = np.concatenate([
+                    np.arange(0, h, 8), np.arange(4, h, 8),
+                    np.arange(2, h, 4), np.arange(1, h, 2),
+                ])
+                out = np.empty_like(img)
+                out[order] = img
+                img = out
+            return img.copy()
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"GIF: unknown block 0x{block:02x}")
+    raise ValueError("GIF: no image block found")
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """H x W uint8 palette indices + (N<=256, 3) palette -> GIF89a bytes.
+    Emits literal 9-bit LZW codes with a clear code before each dictionary
+    overflow — larger than a real compressor's output but spec-valid and
+    decodable by any GIF reader."""
+    h, w = indices.shape
+    if palette.shape[0] > 256:
+        raise ValueError("GIF palette limited to 256 entries")
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[: palette.shape[0]] = palette
+    head = b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # 256-GCT
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    min_code = 8
+    clear, end = 256, 257
+    bits = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code, width=9):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    count = end + 1
+    for v in indices.reshape(-1):
+        emit(int(v))
+        count += 1
+        # each literal would grow the dict; clear before width must bump
+        if count == 511:
+            emit(clear)
+            count = end + 1
+    emit(end)
+    if nbits:
+        bits.append(acc & 0xFF)
+    sub = b""
+    mv = bytes(bits)
+    for i in range(0, len(mv), 255):
+        chunk = mv[i:i + 255]
+        sub += bytes([len(chunk)]) + chunk
+    return (
+        head + pal.tobytes() + desc + bytes([min_code]) + sub
+        + b"\x00" + b"\x3b"
+    )
+
+
+# ---------------------------------------------------------------------------
 # AVI (RIFF) container for MJPEG — the format webcams/ffmpeg '-c:v mjpeg'
 # actually produce. Public spec: Microsoft RIFF/AVI (also OpenDML). Only the
 # container is handled here; frame payloads are baseline JPEGs decoded by

@@ -54,9 +54,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return mediacodec.decode_png(payload)
     if payload[: len(jpegcodec.JPEG_SOI)] == jpegcodec.JPEG_SOI:
         return jpegcodec.decode_jpeg(bytes(payload))
+    if payload[:6] in mediacodec.GIF_MAGICS:
+        return mediacodec.decode_gif(bytes(payload))
     raise ValueError(
         f"unsupported image payload (magic {bytes(payload[:4])!r}); "
-        "PNG and baseline JPEG are the in-container formats"
+        "PNG, baseline JPEG and GIF are the in-container formats"
     )
 
 

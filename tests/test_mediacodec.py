@@ -177,3 +177,125 @@ def test_generators_deterministic_and_round_trip():
     c, _ = mc.decode_wav(mc.wav_from_bytes(b"abd"))
     assert ra == rb and (a == b).all()
     assert a.size != c.size or not (a == c).all()
+
+
+# ------------------------------------------------------------------- GIF
+
+
+def _ref_lzw_compress(min_code_size, indices):
+    """Independent REAL LZW compressor (dictionary-building, variable
+    width, straight from the GIF89a spec prose) so the decoder's
+    dictionary-code and KwKwK paths are exercised — the in-repo encoder
+    emits only literal codes."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out_codes = []
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    out_codes.append((clear, width))
+    buf = ()
+    for v in indices:
+        cand = buf + (int(v),)
+        if cand in table:
+            buf = cand
+            continue
+        out_codes.append((table[buf], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            out_codes.append((clear, width))
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        buf = (int(v),)
+    if buf:
+        out_codes.append((table[buf], width))
+    out_codes.append((end, width))
+    acc = nbits = 0
+    data = bytearray()
+    for code, w in out_codes:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _gif_wrap(w, h, pal, min_code, lzw, interlace=False):
+    import struct as st
+
+    head = b"GIF89a" + st.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    palette = np.zeros((256, 3), dtype=np.uint8)
+    palette[: pal.shape[0]] = pal
+    desc = b"\x2c" + st.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
+    sub = b""
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        sub += bytes([len(chunk)]) + chunk
+    return (
+        head + palette.tobytes() + desc + bytes([min_code]) + sub
+        + b"\x00\x3b"
+    )
+
+
+def test_gif_round_trip_literal_encoder():
+    rng = np.random.default_rng(9)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8).astype(np.uint8)
+    idx = rng.integers(0, 256, (19, 27), dtype=np.uint8).astype(np.uint8)
+    out = mc.decode_gif(mc.encode_gif(idx, pal))
+    assert np.array_equal(out, pal[idx])
+
+
+def test_gif_decodes_real_lzw_compression():
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8).astype(np.uint8)
+    # repetitive data drives real dictionary growth (incl. KwKwK patterns)
+    idx = np.tile(
+        rng.integers(0, 16, (4, 30), dtype=np.uint8), (8, 1)
+    ).astype(np.uint8)
+    h, w = idx.shape
+    lzw = _ref_lzw_compress(4, idx.reshape(-1))
+    out = mc.decode_gif(_gif_wrap(w, h, pal, 4, lzw))
+    assert np.array_equal(out, pal[np.clip(idx, 0, 15)])
+
+
+def test_gif_interlaced_rows_reorder():
+    rng = np.random.default_rng(6)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8).astype(np.uint8)
+    idx = rng.integers(0, 8, (13, 5), dtype=np.uint8).astype(np.uint8)
+    h, w = idx.shape
+    order = np.concatenate([
+        np.arange(0, h, 8), np.arange(4, h, 8),
+        np.arange(2, h, 4), np.arange(1, h, 2),
+    ])
+    lzw = _ref_lzw_compress(3, idx[order].reshape(-1))
+    out = mc.decode_gif(_gif_wrap(w, h, pal, 3, lzw, interlace=True))
+    assert np.array_equal(out, pal[idx])
+
+
+def test_gif_rejects_garbage():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="signature"):
+        mc.decode_gif(b"NOTAGIF" + b"\x00" * 20)
+    with _pytest.raises(ValueError):
+        mc.decode_gif(b"GIF89a" + b"\x00" * 7 + b"\xff")
+
+
+def test_decode_image_dispatches_gif():
+    from similarities_spark.functions.multimodal import decode_image
+
+    rng = np.random.default_rng(2)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8).astype(np.uint8)
+    idx = rng.integers(0, 256, (11, 9), dtype=np.uint8).astype(np.uint8)
+    out = decode_image(mc.encode_gif(idx, pal))
+    assert np.array_equal(out, pal[idx])
