@@ -21,6 +21,8 @@ from typing import Optional, Sequence
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
+from similarities_spark.functions.textops import spread_small_input
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -54,7 +56,7 @@ def cosine_topk(
     q = queries.select(
         F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec")
     )
-    v = vectors.select(
+    v = spread_small_input(vectors).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     )

@@ -24,7 +24,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from similarities_spark.functions.textops import tokens_col
+from similarities_spark.functions.textops import spread_small_input, tokens_col
 
 logger = logging.getLogger(__name__)
 
@@ -37,24 +37,25 @@ def _cap_buckets(
 ) -> DataFrame:
     """Drop candidate buckets larger than ``max_bucket_size`` (a degenerate
     bucket — boilerplate pages, all-zero chunks — goes quadratic in the
-    pair join). Dropped-bucket count is logged; results become approximate
-    ONLY for members of the dropped buckets, which at web scale are
-    boilerplate you usually want gone anyway. ``None`` disables the cap."""
+    pair join). Results become approximate ONLY for members of the dropped
+    buckets, which at web scale are boilerplate you usually want gone
+    anyway. ``None`` disables the cap.
+
+    Implemented as a bucket-count window (one exchange on ``key_cols``, no
+    separate sizing job, no anti-join): the window's hash partitioning on
+    the bucket key is exactly the partitioning the candidate self-join
+    downstream needs, so the pair join on the capped rows adds NO further
+    exchange (guide §2.4 "two operations keyed the same way share one
+    exchange"). The previous shape (groupBy sizes -> eager count() -> join
+    left_anti) cost an extra full pass over the rows plus a second shuffle
+    purely to log the dropped-bucket count."""
     if max_bucket_size is None:
         return rows
-    sizes = rows.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_bn"))
-    over = sizes.filter(F.col("_bn") > max_bucket_size)
-    n_over = over.count()  # one tiny agg job; the pair join it guards is huge
-    if n_over:
-        logger.warning(
-            "%s: dropping %d candidate bucket(s) larger than %d members "
-            "(degenerate-bucket cap; pairs within them are not emitted)",
-            what,
-            n_over,
-            max_bucket_size,
-        )
-    return rows.join(
-        over.select(*key_cols), key_cols, "left_anti"
+    w = Window.partitionBy(*key_cols)
+    return (
+        rows.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
     )
 
 
@@ -86,8 +87,19 @@ def shingles_df(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Distinct n-gram shingles per doc: (id, shingle). Built with JVM array
-    ops (transform/sequence/slice) — no Python UDF."""
-    toks = tokens_col(F.col(text_col))
+    ops (transform/sequence/slice) — no Python UDF.
+
+    Plan hygiene (same lesson as build._doc_tf_entries): the token array is
+    materialized in its OWN projection before the shingle transform. The
+    higher-order lambdas are interpreted, so an inlined tokens expression
+    would re-run regexp_extract_all once per shingle position — measured
+    ~18x the whole stage cost (4.4s -> 0.24s on the sf0.1 corpus noop).
+    CollapseProject keeps the multi-referenced non-cheap alias staged."""
+    df = spread_small_input(df)
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)) - 0),
         lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
@@ -96,8 +108,8 @@ def shingles_df(
     sh = F.when(F.size(toks) >= n, sh).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle")
+    return toked.select(
+        "id", F.explode(F.array_distinct(sh)).alias("shingle")
     ).where(F.col("shingle") != "")
 
 
@@ -306,33 +318,51 @@ def simhash64(
     but with a portable md5 bit source instead of its custom string_hash.
 
     Pure Catalyst: explode tokens -> tf weights -> per-bit vote aggregation
-    via stack of bit tests on the md5 hex prefix (16 hex digits = 64 bits).
-    Output (id, simhash: bigint as unsigned-interpreted long).
+    over the md5 hex prefix decoded into two 32-bit halves (16 hex digits =
+    64 bits). Output (id, simhash: bigint as unsigned-interpreted long).
+
+    Expression-tree hygiene: the hex prefix is converted ONCE into two long
+    halves (conv base 16), each per-bit vote is a flat
+    sum((bit*2 - 1) * tf) over a single shift-and-mask of the proper half,
+    and the 64 vote signs reassemble through conv(base 2) of two 32-bit
+    binary strings instead of a 64-deep nested Add chain. Same integer
+    math bit for bit as the instr/substring formulation it replaces
+    (vote_j = sum over tokens of +-tf; bit j set iff vote_j > 0), but the
+    plan tree is ~4x smaller — Catalyst analysis/optimization of the old
+    tree cost more driver time than the whole aggregation job.
     """
+    df = spread_small_input(df)
     toks = (
         df.select(F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("tok"))
         .groupBy("id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("h", F.substring(F.md5(F.col("tok")), 1, 16))
+        .withColumn("_hi", F.conv(F.substring("h", 1, 8), 16, 10).cast("long"))
+        .withColumn("_lo", F.conv(F.substring("h", 9, 8), 16, 10).cast("long"))
     )
-    # vote for bit j: +tf if bit set else -tf; bit j of hex h = bit (3 - j%4)
-    # of digit j//4. digit value via instr on the hex alphabet (portable).
+    # vote for bit j: +tf if bit set else -tf. Bit j (MSB-first over the 16
+    # hex digits) = bit (31 - j%32) of the j<32 ? hi : lo half.
     votes = []
     for j in range(64):
-        digit = F.expr(
-            f"instr('0123456789abcdef', substring(h, {j // 4 + 1}, 1)) - 1"
-        )
-        bit = F.shiftright(digit, 3 - (j % 4)) % 2
-        votes.append(
-            F.sum(F.when(bit == 1, F.col("tf")).otherwise(-F.col("tf"))).alias(f"v{j}")
-        )
+        half = F.col("_hi") if j < 32 else F.col("_lo")
+        bit = F.shiftrightunsigned(half, 31 - (j % 32)).bitwiseAND(F.lit(1))
+        votes.append(F.sum((bit * 2 - 1) * F.col("tf")).alias(f"v{j}"))
     agg = toks.groupBy("id").agg(*votes)
-    acc = F.lit(0).cast("long")
-    for j in range(64):
-        acc = acc + F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ) * F.lit(2 ** (63 - j) if j > 0 else -(2 ** 63)).cast("long")
-    return agg.select("id", acc.alias("simhash"))
+    # reassemble: bit (63-j) of the result is set iff v_j > 0 — build each
+    # 32-bit half as a binary string, conv to long, and recombine; identical
+    # two's-complement value to summing signed bit weights
+    half_bits = [
+        F.concat(
+            *[
+                F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+                for j in range(off, off + 32)
+            ]
+        )
+        for off in (0, 32)
+    ]
+    hi = F.conv(half_bits[0], 2, 10).cast("long")
+    lo = F.conv(half_bits[1], 2, 10).cast("long")
+    return agg.select("id", F.shiftleft(hi, 32).bitwiseOR(lo).alias("simhash"))
 
 
 def simhash_hamming_pairs(
@@ -419,6 +449,7 @@ def duplicate_passage_pairs(
     Returns (doc_a, doc_b, shared_shingles), doc_a < doc_b.
     """
     m = -(-width // stride)  # windows covering one position
+    df = spread_small_input(df)
     toked = df.select(
         F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("toks")
     )

@@ -23,6 +23,29 @@ TOKEN_RE = TOKEN_PATTERN
 QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin-spread an under-partitioned input across the cluster.
+
+    A small parquet table (or one huge unsplittable file) arrives as fewer
+    scan partitions than there are cores, so every map-heavy operator built
+    on it (shingling, hashing, per-token aggregation) runs serially on a
+    handful of tasks while the rest of the cluster idles (guide §2.5 "input
+    skew"). When the scan already has >= defaultParallelism partitions this
+    is a no-op — at warehouse scale inputs are many-file and never take the
+    repartition, so the exchange only ever moves data that is small by
+    construction. Row-distribution only: results of the deterministic
+    per-row transforms downstream are unchanged."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n >= target:
+        return df
+    return df.repartition(target)
+
+
 def tokens_col(text: Column) -> Column:
     """JVM-side tokenization (regexp_extract_all) — identical semantics to
     the Python fallback tokenizer, but runs in whole-stage codegen."""
@@ -95,12 +118,45 @@ def fingerprint(text: Column) -> Column:
 
 
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Same outputs as composing the helpers above, but the two token
+    arrays (raw for counts, lowercased for the stopword ratio) are staged
+    in their own projection and shared by every feature — the composed
+    helpers would tokenize the text four times per row (n_tokens, lang_id,
+    quality, bpeish each re-derive the array). Expressions and float
+    arithmetic are otherwise identical, so outputs are bit-equal."""
     t = F.col(text_col)
-    return df.select(
+    staged = df.select(
         "*",
-        token_count(t).alias("n_tokens"),
-        lang_id(t).alias("lang_pred"),
-        quality_score(t).alias("quality"),
-        token_count_bpeish(t).alias("n_tokens_bpeish"),
+        tokens_col(t).alias("_toks"),
+        tokens_col(F.lower(t)).alias("_toksl"),
+    )
+    n_tok = F.size(F.col("_toks"))
+    # lang_id over the staged count
+    ratio = cjk_ratio(t)
+    avg_wlen = char_count(t) / F.greatest(n_tok, F.lit(1))
+    lang = (
+        F.when(ratio > 0.30, F.lit("cjk"))
+        .when(ratio > 0.05, F.lit("mixed"))
+        .when(avg_wlen < 4.5, F.lit("latin_short"))
+        .otherwise(F.lit("latin_long"))
+    )
+    # quality_score over the staged arrays
+    toksl = F.col("_toksl")
+    sw_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    n_sw = F.size(F.filter(toksl, lambda x: F.array_contains(sw_arr, x)))
+    sw_ratio = n_sw / F.greatest(F.size(toksl), F.lit(1))
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    sw_score = F.lit(1.0) - F.abs(sw_ratio - F.lit(0.25))
+    p_score = F.lit(1.0) - F.least(punct_ratio(t) * 4, F.lit(1.0))
+    quality = F.round((len_score + sw_score + p_score) / 3.0, 6)
+    bpeish = F.greatest(
+        n_tok, F.ceil(F.length(t) / F.lit(4.0)).cast("long")
+    )
+    return staged.select(
+        *df.columns,
+        n_tok.alias("n_tokens"),
+        lang.alias("lang_pred"),
+        quality.alias("quality"),
+        bpeish.alias("n_tokens_bpeish"),
         fingerprint(t).alias("fp"),
     )
