@@ -124,6 +124,7 @@ def main():
                 logf.append(os.path.join(root, f))
     jobs = {}  # id -> dict
     stages = {}  # id -> (name, wall, ntasks)
+    task_m = {}  # stage id -> aggregated task metrics
     with open(logf[0], "r", encoding="utf-8") as f:
         for line in f:
             try:
@@ -150,6 +151,17 @@ def main():
                         (si["Completion Time"] - si["Submission Time"]) / 1000.0,
                         si["Number of Tasks"],
                     )
+            elif ev == "SparkListenerTaskEnd":
+                m = e.get("Task Metrics") or {}
+                sid = e["Stage ID"]
+                agg = task_m.setdefault(
+                    sid, {"run": 0, "gc": 0, "deser": 0, "ser": 0, "n": 0}
+                )
+                agg["run"] += m.get("Executor Run Time", 0)
+                agg["gc"] += m.get("JVM GC Time", 0)
+                agg["deser"] += m.get("Executor Deserialize Time", 0)
+                agg["ser"] += m.get("Result Serialization Time", 0)
+                agg["n"] += 1
     print("\n==== phase walls ====")
     print(json.dumps(timings, indent=1))
     print("\n==== jobs by phase ====")
@@ -163,11 +175,20 @@ def main():
         print(f"\n-- {d}: {len(jids)} jobs, {tot:.2f}s total job wall")
         for jid in jids:
             j = jobs[jid]
-            st = [
-                f"{sid}:{stages[sid][0]}({stages[sid][1]:.2f}s/{stages[sid][2]}t)"
-                for sid in j["stages"]
-                if sid in stages
-            ]
+            st = []
+            for sid in j["stages"]:
+                if sid not in stages:
+                    continue
+                tm = task_m.get(sid, {})
+                mstr = (
+                    f" run={tm.get('run', 0)/1000:.2f}s gc={tm.get('gc', 0)/1000:.2f}s"
+                    f" deser={tm.get('deser', 0)/1000:.2f}s"
+                    if tm
+                    else ""
+                )
+                st.append(
+                    f"{sid}({stages[sid][1]:.2f}s/{stages[sid][2]}t{mstr})"
+                )
             print(f"   job {jid}: {j.get('wall', -1):.2f}s  stages: {'; '.join(st)}")
     shutil.rmtree(evt_dir, ignore_errors=True)
 

@@ -71,8 +71,7 @@ def main():
     # list is a BroadcastExchange, not a shuffle)
     from similarities_spark.index.build import (
         BM25IndexBuilder,
-        _BLOCK_SCHEMA,
-        _make_block_encoder,
+        _encode_blocks_df,
     )
 
     builder = BM25IndexBuilder(spark, idx.config())
@@ -96,9 +95,7 @@ def main():
         )
         .drop("_heavy")
     )
-    enc = salted.groupBy("term", "salt").applyInPandas(
-        _make_block_encoder(builder.cfg), _BLOCK_SCHEMA
-    )
+    enc = _encode_blocks_df(salted, builder.cfg)
     engine_build_plan = grab_plan(enc)
     tok_df.unpersist()
     sections.append(

@@ -114,6 +114,13 @@ class EngineConfig:
     # --- checkpointing ---
     checkpoint_dir: Optional[str] = None  # manifests + resumability; None = off
     checkpoint_groups: int = 4  # resume granularity: bucket groups per build
+    # A checkpoint group is only worth its extra write job when it guards
+    # real work: the build caps the group count so each group covers at
+    # least this many payload bytes (a small corpus then writes all buckets
+    # in ONE job; a warehouse-scale build reaches checkpoint_groups
+    # immediately). 0 disables the adaptivity (tests pinning exact group
+    # counts set it). Layout-neutral: excluded from index_key.
+    checkpoint_group_min_bytes: int = 64 << 20
 
     def index_key(self) -> str:
         """Stable digest of every config field that determines index CONTENT

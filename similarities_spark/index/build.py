@@ -103,6 +103,11 @@ _BLOCKS_READ_SCHEMA = StructType(
     list(_BLOCK_SCHEMA.fields) + [StructField("bucket", IntegerType())]
 )
 
+# term_stats rows per output partition: a stats row is ~30-60 bytes, so
+# ~4M rows keep files in the guide §6 output-size band; below that a
+# single sorted file serves the same row-group pruning
+_STATS_ROWS_PER_PARTITION = 4_000_000
+
 # explicit read schemas everywhere: an all-stopword corpus produces empty
 # blocks/term_stats dirs, where schema inference would fail
 _STATS_READ_SCHEMA = StructType(
@@ -283,10 +288,23 @@ def _dense_doc_ids(pages: DataFrame, sort_partitions: int) -> DataFrame:
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = sorted(
-        (int(r["_pid"]), int(r["n"]))
-        for r in ordered.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    # the per-partition counts pass doubles as the input-fingerprint pass:
+    # bit_xor is associative/commutative, so the xor of per-partition xors
+    # equals the global bit_xor over all rows — the standalone
+    # _input_fingerprint scan job is only needed when validating a resume
+    # manifest BEFORE deciding whether to rebuild
+    gb = (
+        ordered.groupBy("_pid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(url, warc_ts))").alias("fp"),
+        )
+        .collect()
     )
+    counts = sorted((int(r["_pid"]), int(r["n"])) for r in gb)
+    fp = 0
+    for r in gb:
+        fp ^= int(r["fp"] or 0)
     offsets = []
     acc = 0
     for pid, n in counts:
@@ -314,6 +332,10 @@ def _dense_doc_ids(pages: DataFrame, sort_partitions: int) -> DataFrame:
         .drop("_pid", "_offset")
     )
     out._cached_sort_parent = ordered  # released once docs materialize
+    out._input_fp = {
+        "n_input_rows": sum(n for _, n in counts),
+        "input_fp": fp,
+    }
     return out
 
 
@@ -380,40 +402,19 @@ def _doc_tf_entries(tokenized: DataFrame) -> DataFrame:
     )
 
 
-def _make_block_encoder(cfg: EngineConfig):
-    block_size = cfg.block_size
-
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        term = pdf["term"].iloc[0]
-        salt = int(pdf["salt"].iloc[0])
-        if "tf" in pdf.columns:
-            # pre-aggregated postings (one row per distinct (term, doc))
-            pdf = pdf.sort_values("doc_id", kind="mergesort")
-            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            tfs = pdf["tf"].to_numpy(dtype=np.int64)
-            dls = pdf["doc_len"].to_numpy(dtype=np.int64)
-        else:
-            # FUSED mode: raw exploded token rows arrive straight off the
-            # one-and-only build shuffle; duplicates of a doc_id ARE the
-            # term frequency. np.unique on the sorted ids yields (doc, tf)
-            # vectorized — the per-doc TF aggregate costs no extra exchange.
-            ids_raw = pdf["doc_id"].to_numpy(dtype=np.int64)
-            dls_raw = pdf["doc_len"].to_numpy(dtype=np.int64)
-            order = np.argsort(ids_raw, kind="stable")
-            ids_sorted = ids_raw[order]
-            doc_ids, first, tfs = np.unique(
-                ids_sorted, return_index=True, return_counts=True
-            )
-            tfs = tfs.astype(np.int64)
-            dls = dls_raw[order][first]
-        starts = np.arange(0, len(doc_ids), block_size, dtype=np.int64)
-        tf_max = np.maximum.reduceat(tfs, starts)
-        tf_min = np.minimum.reduceat(tfs, starts)
-        tf_sum = np.add.reduceat(tfs, starts)
-        dl_max = np.maximum.reduceat(dls, starts)
-        dl_min = np.minimum.reduceat(dls, starts)
-        blocks = codec.encode_blocks_batch(doc_ids, tfs, dls, block_size)
-        rows = [
+def _encode_segment_rows(term, salt, doc_ids, tfs, dls, block_size, out_rows):
+    """Encode ONE (term, salt) segment — doc_ids sorted ascending, tf/dl
+    aligned — into block rows appended to ``out_rows``. Payloads and block
+    metadata are bit-identical to the original per-group pandas encoder."""
+    starts = np.arange(0, len(doc_ids), block_size, dtype=np.int64)
+    tf_max = np.maximum.reduceat(tfs, starts)
+    tf_min = np.minimum.reduceat(tfs, starts)
+    tf_sum = np.add.reduceat(tfs, starts)
+    dl_max = np.maximum.reduceat(dls, starts)
+    dl_min = np.minimum.reduceat(dls, starts)
+    blocks = codec.encode_blocks_batch(doc_ids, tfs, dls, block_size)
+    for bi, (payload, lo, hi) in enumerate(blocks):
+        out_rows.append(
             (
                 term,
                 salt,
@@ -428,14 +429,115 @@ def _make_block_encoder(cfg: EngineConfig):
                 int(dl_min[bi]),
                 payload,
             )
-            for bi, (payload, lo, hi) in enumerate(blocks)
-        ]
-        return pd.DataFrame(
-            rows,
-            columns=[f.name for f in _BLOCK_SCHEMA.fields],
         )
 
-    return encode
+
+def _encode_blocks_df(salted: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """(term, salt)-partitioned block encoding as a STREAMING partition
+    kernel: repartition on (term, salt) + JVM sort by (term, salt, doc_id),
+    then one mapInPandas pass that cuts segments at key-change boundaries.
+
+    This replaces groupBy(term, salt).applyInPandas, which paid a pandas
+    DataFrame construction + Python call per GROUP — at a web-scale vocab
+    that is millions of per-group round-trips, and it dominated the encode
+    stage wall (guide §4.2: hand whole batches to vectorized code, don't
+    loop per key). The exchange count is unchanged (the repartition IS the
+    one build shuffle); the doc_id sort moves into the JVM sorter
+    (spillable) instead of a per-group numpy argsort; memory held by the
+    kernel is one Arrow batch plus one partial segment, the same bound the
+    grouped iterator had. Output rows are bit-identical (parity-tested).
+
+    Input rows: (term, salt, doc_id, doc_len[, tf]). Without ``tf`` (fused
+    mode) duplicates of a doc_id ARE the term frequency and are
+    run-length-counted on the sorted ids; with it (fused_tf / groupby /
+    compact) rows are one per distinct (term, doc)."""
+    has_tf = "tf" in salted.columns
+    cols = ["term", "salt", "doc_id", "doc_len"] + (["tf"] if has_tf else [])
+    block_size = cfg.block_size
+    col_names = [f.name for f in _BLOCK_SCHEMA.fields]
+
+    def kernel(batches):
+        pend = None  # trailing (possibly incomplete) segment's raw arrays
+
+        def flush(terms, salts, ids, dls, tfs, upto):
+            """Encode all complete segments in [0, upto)."""
+            rows = []
+            # segment starts: positions where (term, salt) changes
+            if upto == 0:
+                return rows
+            change = np.empty(upto, dtype=bool)
+            change[0] = True
+            np.not_equal(terms[1:upto], terms[: upto - 1], out=change[1:])
+            np.logical_or(
+                change[1:], salts[1:upto] != salts[: upto - 1], out=change[1:]
+            )
+            starts = np.flatnonzero(change)
+            bounds = np.append(starts, upto)
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                seg_ids = ids[s:e]
+                seg_dls = dls[s:e]
+                if has_tf:
+                    seg_tfs = tfs[s:e]
+                else:
+                    # run-length count duplicates of sorted doc ids
+                    first = np.empty(e - s, dtype=bool)
+                    first[0] = True
+                    np.not_equal(seg_ids[1:], seg_ids[:-1], out=first[1:])
+                    fidx = np.flatnonzero(first)
+                    seg_tfs = np.diff(np.append(fidx, e - s)).astype(np.int64)
+                    seg_ids = seg_ids[fidx]
+                    seg_dls = seg_dls[fidx]
+                _encode_segment_rows(
+                    terms[s], int(salts[s]), seg_ids, seg_tfs, seg_dls,
+                    block_size, rows,
+                )
+            return rows
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            terms = pdf["term"].to_numpy()
+            salts = pdf["salt"].to_numpy(dtype=np.int64)
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            dls = pdf["doc_len"].to_numpy(dtype=np.int64)
+            tfs = pdf["tf"].to_numpy(dtype=np.int64) if has_tf else None
+            if pend is not None:
+                terms = np.concatenate([pend[0], terms])
+                salts = np.concatenate([pend[1], salts])
+                ids = np.concatenate([pend[2], ids])
+                dls = np.concatenate([pend[3], dls])
+                if has_tf:
+                    tfs = np.concatenate([pend[4], tfs])
+            # the last segment may continue into the next batch: hold it back
+            n = len(terms)
+            last_start = n - 1
+            while last_start > 0 and (
+                terms[last_start - 1] == terms[n - 1]
+                and salts[last_start - 1] == salts[n - 1]
+            ):
+                last_start -= 1
+            rows = flush(terms, salts, ids, dls, tfs, last_start)
+            pend = (
+                terms[last_start:],
+                salts[last_start:],
+                ids[last_start:],
+                dls[last_start:],
+                tfs[last_start:] if has_tf else None,
+            )
+            if rows:
+                yield pd.DataFrame(rows, columns=col_names)
+        if pend is not None and len(pend[0]):
+            terms, salts, ids, dls, tfs = pend
+            rows = flush(terms, salts, ids, dls, tfs, len(terms))
+            if rows:
+                yield pd.DataFrame(rows, columns=col_names)
+
+    return (
+        salted.select(*cols)
+        .repartition("term", "salt")
+        .sortWithinPartitions("term", "salt", "doc_id")
+        .mapInPandas(kernel, _BLOCK_SCHEMA)
+    )
 
 
 @F.pandas_udf(DoubleType())
@@ -510,11 +612,16 @@ class BM25IndexBuilder:
         # swaps are caught by the hash term (see _input_fingerprint).
         docs_manifest = os.path.join(ckpt, "stage-docs.json")
         docs_key = f"v{FORMAT_VERSION}|{input_desc}"
-        # computed on EVERY build (one cheap narrow-column agg job): the
-        # manifest must carry the fingerprint so a future resume can compare
-        input_fp = _input_fingerprint(webtext)
+        # The input fingerprint is needed on every build (it participates in
+        # the lineage key and the docs manifest). A STANDALONE narrow-column
+        # scan job is only paid when a resume must validate an existing
+        # manifest BEFORE deciding to rebuild; a fresh build folds the
+        # fingerprint into the docs stage's per-partition counts pass
+        # (_dense_doc_ids) — one less full-input job.
         docs_meta = None
+        input_fp = None
         if resume and os.path.exists(docs_manifest):
+            input_fp = _input_fingerprint(webtext)
             with open(docs_manifest, "r", encoding="utf-8") as f:
                 docs_meta = json.load(f)
             if (
@@ -533,8 +640,10 @@ class BM25IndexBuilder:
         else:
             docs, docs_meta = self._build_docs(webtext, docs_path, input_desc)
             docs_meta["docs_key"] = docs_key
-            docs_meta["input_fp"] = input_fp["input_fp"]
-            docs_meta["n_input_rows"] = input_fp["n_input_rows"]
+            input_fp = {
+                "input_fp": docs_meta["input_fp"],
+                "n_input_rows": docs_meta["n_input_rows"],
+            }
             os.makedirs(ckpt, exist_ok=True)
             with open(docs_manifest, "w", encoding="utf-8") as f:
                 json.dump(docs_meta, f, sort_keys=True)
@@ -590,7 +699,7 @@ class BM25IndexBuilder:
             heavy = term_stats.filter(
                 F.col("df") >= cfg.salt_df_threshold
             ).select("term", F.lit(True).alias("_heavy"))
-            self._build_blocks(
+            blocks_cached = self._build_blocks(
                 postings,
                 heavy,
                 blocks_path,
@@ -600,6 +709,8 @@ class BM25IndexBuilder:
                 done_buckets=set(done),
                 fail_after_groups=_fail_after_groups,
             )
+            if blocks_cached is not None:
+                blocks_cached.unpersist()
             postings.unpersist()
             _mark("blocks")
         else:
@@ -631,7 +742,7 @@ class BM25IndexBuilder:
             # the stage wall attributes it separately
             heavy = self._collect_heavy(self._heavy_terms(docs, tokenized))
             _mark("salt_detect")
-            self._build_blocks(
+            blocks_cached = self._build_blocks(
                 exploded,
                 heavy,
                 blocks_path,
@@ -648,13 +759,18 @@ class BM25IndexBuilder:
             if stats_meta is not None:
                 term_stats = self.spark.read.schema(_STATS_READ_SCHEMA).parquet(stats_path)
             else:
+                # stats derive from the STILL-CACHED blocks table when the
+                # stage just ran (no re-read of the parquet it wrote);
+                # a fully-resumed stage falls back to the on-disk table
                 term_stats, stats_meta = self._stats_from_blocks(
-                    blocks_path, n_docs, stats_path
+                    blocks_path, n_docs, stats_path, blocks_df=blocks_cached
                 )
                 stats_meta["lineage_key"] = lineage_key
                 with open(stats_manifest, "w", encoding="utf-8") as f:
                     json.dump(stats_meta, f, sort_keys=True)
                 term_stats = self.spark.read.schema(_STATS_READ_SCHEMA).parquet(stats_path)
+            if blocks_cached is not None:
+                blocks_cached.unpersist()
             _mark("stats")
 
         total_tokens = stats_meta["total_tokens"]
@@ -708,6 +824,7 @@ class BM25IndexBuilder:
                 "delta": cfg.delta,
                 "checkpoint_dir": cfg.checkpoint_dir,
                 "checkpoint_groups": cfg.checkpoint_groups,
+                "checkpoint_group_min_bytes": cfg.checkpoint_group_min_bytes,
             },
         }
         with open(os.path.join(index_dir, "meta.json"), "w", encoding="utf-8") as f:
@@ -826,10 +943,7 @@ class BM25IndexBuilder:
             )
             .drop("_heavy")
         )
-        encoder = _make_block_encoder(cfg)
-        blocks = salted.groupBy("term", "salt").applyInPandas(
-            encoder, _BLOCK_SCHEMA
-        ).withColumn(
+        blocks = _encode_blocks_df(salted, cfg).withColumn(
             "bucket",
             F.pmod(F.xxhash64("term"), F.lit(cfg.num_term_buckets)).cast("int"),
         )
@@ -886,10 +1000,16 @@ class BM25IndexBuilder:
             .alias("idf"),
         )
         tmp_stats = os.path.join(inc_dir, "term_stats")
-        # same sorted layout as _finish_term_stats (row-group prunable)
+        # same sorted, vocab-size-adaptive layout as _finish_term_stats
+        # (row-group prunable)
+        parts = max(1, -(-vocab_size // _STATS_ROWS_PER_PARTITION))
+        sink = (
+            stats.repartition(1)
+            if parts == 1
+            else stats.repartitionByRange(parts, F.col("term"))
+        )
         (
-            stats.repartitionByRange(F.col("term"))
-            .sortWithinPartitions("term")
+            sink.sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(tmp_stats)
         )
@@ -1013,12 +1133,10 @@ class BM25IndexBuilder:
             )
             .drop("_heavy")
         )
-        encoder = _make_block_encoder(cfg)
         swap_id = uuid.uuid4().hex[:8]
         next_name = f"blocks.next-{swap_id}"
         (
-            salted.groupBy("term", "salt")
-            .applyInPandas(encoder, _BLOCK_SCHEMA)
+            _encode_blocks_df(salted, cfg)
             .withColumn(
                 "bucket",
                 F.pmod(F.xxhash64("term"), F.lit(cfg.num_term_buckets)).cast(
@@ -1216,6 +1334,9 @@ class BM25IndexBuilder:
             "n_docs": int(n_docs),
             "n_input_rows": int(n_docs),  # no initial-build dedup: 1:1
             "input_desc": input_desc,
+            # folded into the counts pass by _dense_doc_ids — equals the
+            # standalone _input_fingerprint(webtext) (extract_text is 1:1)
+            "input_fp": int(with_ids._input_fp["input_fp"]),
         }
         return docs, meta
 
@@ -1228,22 +1349,29 @@ class BM25IndexBuilder:
         )
         return self._finish_term_stats(df_tbl, n_docs, stats_path)
 
-    def _stats_from_blocks(self, blocks_path: str, n_docs: int, stats_path: str):
-        """FUSED mode: term_stats derive from the blocks table (column-pruned
-        parquet read of term/n_postings/tf_sum — ~n_postings/block_size rows,
-        and the groupBy(term) shuffles only vocab-sized partials). df =
-        Σ n_postings (each posting is one distinct doc), tokens = Σ tf_sum —
-        both exact, identical to aggregating the postings directly."""
-        df_tbl = (
+    def _stats_from_blocks(
+        self,
+        blocks_path: str,
+        n_docs: int,
+        stats_path: str,
+        blocks_df: Optional[DataFrame] = None,
+    ):
+        """FUSED mode: term_stats derive from the blocks table (the cached
+        blocks DF when the stage just ran — no re-read of the parquet it
+        wrote — else a column-pruned parquet read of term/n_postings/tf_sum,
+        ~n_postings/block_size rows; the groupBy(term) shuffles only
+        vocab-sized partials). df = Σ n_postings (each posting is one
+        distinct doc), tokens = Σ tf_sum — both exact, identical to
+        aggregating the postings directly."""
+        if blocks_df is None:
             # explicit schema: a corpus whose docs all tokenize to empty
             # writes no block files, and schema inference would fail there
-            self.spark.read.schema(_BLOCKS_READ_SCHEMA)
-            .parquet(blocks_path)
-            .groupBy("term")
-            .agg(
-                F.sum("n_postings").cast("long").alias("df"),
-                F.sum("tf_sum").cast("long").alias("term_tokens"),
+            blocks_df = self.spark.read.schema(_BLOCKS_READ_SCHEMA).parquet(
+                blocks_path
             )
+        df_tbl = blocks_df.groupBy("term").agg(
+            F.sum("n_postings").cast("long").alias("df"),
+            F.sum("tf_sum").cast("long").alias("term_tokens"),
         )
         return self._finish_term_stats(df_tbl, n_docs, stats_path)
 
@@ -1276,10 +1404,19 @@ class BM25IndexBuilder:
         # stats lookup (term IN [...]) then prunes to a handful of row
         # groups via parquet min/max stats instead of scanning the whole
         # vocab table — immaterial at test vocab sizes, decisive at 10^9
-        # terms. The extra exchange is over the tiny vocab table only.
+        # terms. Partition count derives from the vocab size just measured
+        # (keyless repartitionByRange would use spark.sql.shuffle.partitions
+        # AND pay a range-sampling job; a vocab that fits one sorted file
+        # needs neither — min/max row-group pruning works the same within
+        # one file).
+        parts = max(1, -(-vocab_size // _STATS_ROWS_PER_PARTITION))
+        sink = (
+            stats.repartition(1)
+            if parts == 1
+            else stats.repartitionByRange(parts, F.col("term"))
+        )
         (
-            stats.repartitionByRange(F.col("term"))
-            .sortWithinPartitions("term")
+            sink.sortWithinPartitions("term")
             .write.mode("overwrite")
             .parquet(stats_path)
         )
@@ -1309,7 +1446,12 @@ class BM25IndexBuilder:
         rows (legacy mode) or raw exploded token rows without tf (fused mode
         — the encoder counts duplicates). ``heavy`` is the tiny salt list
         (term, _heavy) — always broadcast. ``mark`` (optional) records the
-        encode-vs-write stage boundary in the build's stage walls."""
+        encode-vs-write stage boundary in the build's stage walls.
+
+        Returns the persisted blocks DataFrame so the caller can derive
+        term_stats from the cache instead of re-reading the freshly written
+        parquet (the caller unpersists); None when the stage fully
+        resumed."""
         cfg = self.cfg
         per_salt = cfg.salt_bounds(n_docs)
         salted = (
@@ -1323,14 +1465,11 @@ class BM25IndexBuilder:
             )
             .drop("_heavy")
         )
-        encoder = _make_block_encoder(cfg)
         # NO stats join: blocks are immutable, stats-free segments (idf/df
         # are looked up from term_stats at query time — see FORMAT_VERSION
         # note). Incremental merges can therefore append segments without
         # touching existing data.
-        blocks = salted.groupBy("term", "salt").applyInPandas(
-            encoder, _BLOCK_SCHEMA
-        ).withColumn(
+        blocks = _encode_blocks_df(salted, cfg).withColumn(
             "bucket",
             F.pmod(F.xxhash64("term"), F.lit(cfg.num_term_buckets)).cast("int"),
         )
@@ -1347,7 +1486,7 @@ class BM25IndexBuilder:
             # fully-resumed blocks stage: every bucket manifest matches this
             # lineage — never trigger the encode job (metrics included)
             blocks.unpersist()
-            return
+            return None
 
         # per-bucket metrics in ONE job (not one per group) — the group loop
         # below then only pays the write
@@ -1365,7 +1504,21 @@ class BM25IndexBuilder:
         if mark is not None:
             mark("encode")  # tokenize+shuffle+encode+cache materialized here
 
+        # resume granularity scales with the WORK a checkpoint guards: a
+        # group that protects less than checkpoint_group_min_bytes of
+        # payload costs more in extra write jobs than a retry would — at
+        # bench/test scale that collapses to one write job, at warehouse
+        # scale the configured group count is reached quickly. 0 disables
+        # the adaptivity (tests that pin exact group counts set it).
         n_groups = max(1, cfg.checkpoint_groups)
+        min_bytes = getattr(cfg, "checkpoint_group_min_bytes", 0) or 0
+        if min_bytes > 0:
+            total_payload = sum(
+                int(m["payload_bytes"] or 0) for m in metrics.values()
+            )
+            n_groups = min(
+                n_groups, max(1, -(-total_payload // min_bytes))
+            )
         group_size = max(1, (len(all_buckets) + n_groups - 1) // n_groups)
         groups = [todo[i : i + group_size] for i in range(0, len(todo), group_size)]
         for gi, grp in enumerate(groups):
@@ -1398,4 +1551,4 @@ class BM25IndexBuilder:
                         "group_wall_s": wall,
                     },
                 )
-        blocks.unpersist()
+        return blocks

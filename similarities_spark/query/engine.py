@@ -45,8 +45,70 @@ from pyspark.sql.types import (
 
 from similarities_spark.index.build import BM25Index
 from similarities_spark.query import scorer as _scorer
-from similarities_spark.tokenize import make_tokenizer_udf
+from similarities_spark.tokenize import make_tokenizer_udf, tokenize_text
 from similarities_spark.xxh64 import term_bucket
+
+# above this many rows a literal VALUES table would bloat SQL parse time;
+# fall back to the RDD-backed createDataFrame (still correct, just not a
+# LocalRelation)
+_MAX_VALUES_ROWS = 20_000
+
+
+def _literal_df(spark: SparkSession, rows, schema_ddl: str):
+    """Small driver-side row set -> a JVM LocalRelation DataFrame.
+
+    ``spark.createDataFrame(list)`` builds a LogicalRDD over pickled Python
+    rows: EVERY stage that scans it (and the BroadcastExchange that builds
+    the query-stats hash relation) launches Python workers just to re-read
+    constants — measured ~0.3s of executor time per 32-task stage on the
+    query path. A SQL ``VALUES`` inline table resolves to a LocalRelation
+    at analysis time instead: pure JVM, no Python eval, broadcast directly.
+
+    Strings ride as ``unbase64`` literals (foldable — ResolveInlineTables
+    evaluates them during analysis), so arbitrary content needs no SQL
+    escaping. Ints/floats use exact literals (repr(float) round-trips IEEE
+    754 bit-for-bit through the SQL parser). Falls back to createDataFrame
+    for very large row sets, where parse time would dominate.
+    """
+    import base64
+
+    fields = []  # (name, type) from the DDL, e.g. "query_id long, x string"
+    for part in schema_ddl.split(","):
+        name, typ = part.strip().split()
+        fields.append((name, typ.lower()))
+    if len(rows) > _MAX_VALUES_ROWS:
+        return spark.createDataFrame(rows, schema_ddl)
+    if not rows:
+        return spark.createDataFrame([], schema_ddl)
+
+    sql_type = {
+        "long": "BIGINT", "bigint": "BIGINT", "int": "INT",
+        "double": "DOUBLE", "string": "STRING", "boolean": "BOOLEAN",
+    }
+
+    def cell(v, typ):
+        if v is None:
+            return f"CAST(NULL AS {sql_type[typ]})"
+        if typ == "string":
+            b = base64.b64encode(v.encode("utf-8")).decode("ascii")
+            return f"CAST(unbase64('{b}') AS STRING)"
+        if typ == "double":
+            return f"CAST({v!r} AS DOUBLE)"
+        if typ in ("long", "bigint"):
+            return f"CAST({int(v)} AS BIGINT)"
+        if typ == "int":
+            return f"CAST({int(v)} AS INT)"
+        if typ == "boolean":
+            return "true" if v else "false"
+        raise ValueError(f"unsupported literal type {typ}")
+
+    values = ",".join(
+        "(" + ",".join(cell(v, t) for v, (_, t) in zip(row, fields)) + ")"
+        for row in rows
+    )
+    cols = ",".join(name for name, _ in fields)
+    return spark.sql(f"SELECT * FROM VALUES {values} AS t({cols})")
+
 
 _SCORE_SCHEMA = StructType(
     [
@@ -165,17 +227,22 @@ class BM25QueryEngine:
     ) -> DataFrame:
         """Reference most_similar surface (literal_similarity.py:416-442):
         str | list | dict of queries -> ranked hits DataFrame
-        (query_id, rank, doc_id, score [, corpus_doc])."""
+        (query_id, rank, doc_id, score [, corpus_doc]).
+
+        Queries are already driver-side values here, so they tokenize in
+        driver Python directly (same tokenize_text the query UDF wraps) —
+        no round-trip through a queries DataFrame just to collect it back."""
         if isinstance(queries, str):
             queries = [queries]
         if isinstance(queries, (list, tuple)):
             queries = {i: q for i, q in enumerate(queries)}
-        qdf = self.spark.createDataFrame(
-            pd.DataFrame(
-                {"query_id": list(queries.keys()), "text": list(queries.values())}
-            )
-        ).select(F.col("query_id").cast("long"), "text")
-        return self.search_df(qdf, topn=topn, include_text=include_text)
+        tok_lists = [
+            (int(q), tokenize_text(text, mode="query"))
+            for q, text in queries.items()
+        ]
+        return self._search_tokens(
+            tok_lists, topn=topn, include_text=include_text, fan_out=None
+        )
 
     def search_df(
         self,
@@ -195,30 +262,42 @@ class BM25QueryEngine:
         ranges: Okapi/BM25L because their unmatched-doc contribution is
         exactly 0; BM25Plus because its per-token idf*delta baseline is a
         query constant every range task reproduces from the token-side df
-        column (scorer token_dfs), independent of which blocks it sees."""
+        column (scorer token_dfs), independent of which blocks it sees.
+
+        The raw (query_id, text) rows are collected ONCE (the only
+        DataFrame action on queries; they are driver-adjacent by contract)
+        and tokenized in driver Python with the very function the query
+        UDF wraps (tokenize_text, mode='query' — bit-identical tokens) —
+        no Python-UDF tokenize job + explode + distinct shuffle per batch."""
+        qrows = queries_df.select(
+            F.col("query_id").cast("long").alias("query_id"), "text"
+        ).collect()
+        tok_lists = [
+            (int(r["query_id"]), tokenize_text(r["text"], mode="query"))
+            for r in qrows
+        ]
+        return self._search_tokens(
+            tok_lists, topn=topn, include_text=include_text, fan_out=fan_out
+        )
+
+    def _search_tokens(
+        self,
+        tok_lists,
+        topn: int,
+        include_text: bool,
+        fan_out: Optional[int],
+    ) -> DataFrame:
+        """Driver-adjacent scoring over pre-tokenized (query_id, tokens)
+        pairs. Everything query-sized becomes a JVM LocalRelation
+        (_literal_df): the token side of the cogroup, the broadcast df/idf
+        stats side, and the padding id set — so the only Python stage in
+        the whole physical plan is the MaxScore scorer kernel itself.
+        Yields the partition/row-group pruning predicates for the blocks
+        scan and the candidate-volume estimate for auto fan-out."""
         cfg = self.cfg
         variant = cfg.variant
-
-        tok_udf = make_tokenizer_udf("query")
-        qtok = queries_df.select(
-            F.col("query_id").cast("long").alias("query_id"),
-            F.posexplode(tok_udf(F.col("text"))).alias("pos", "term"),
-        )
-
-        # ---- driver-side query-term prep (the ONLY collect on this path;
-        # O(#queries x query_len) — queries are driver-adjacent by contract).
-        # Yields: the partition/row-group pruning predicates for the blocks
-        # scan, the broadcast df/idf stats (no vocab-table join in the
-        # plan), and the candidate-volume estimate for auto fan-out.
-        qt_rows = (
-            queries_df.select(
-                F.col("query_id").cast("long").alias("query_id"),
-                F.explode(tok_udf(F.col("text"))).alias("term"),
-            )
-            .distinct()
-            .collect()
-        )
-        qt_pairs = [(int(r["query_id"]), r["term"]) for r in qt_rows]
+        topn = int(topn)
+        qt_pairs = sorted({(q, t) for q, toks in tok_lists for t in toks})
         terms = sorted({t for _, t in qt_pairs})
         if terms:
             # bucket of each term via pure-Python xxHash64 — bit-identical
@@ -269,11 +348,29 @@ class BM25QueryEngine:
             for q, t in qt_pairs
             if t in stat_map
         ]
-        qstats = self.spark.createDataFrame(
-            known, "query_id long, term string, df long, idf double"
+        qstats = _literal_df(
+            self.spark, known, "query_id long, term string, df long, idf double"
         )
         qblocks = F.broadcast(qstats).join(blocks, "term", "inner")
-        qtok = self._attach_token_dfs(qtok, qstats)
+        # token side of the cogroup as a LITERAL table: (query_id, pos,
+        # term, df) with df attached driver-side from the same stat lookup
+        # (BM25Plus baselines; null otherwise — the join _attach_token_dfs
+        # did for the UDF-built token side, minus the join)
+        qtok_rows = [
+            (
+                q,
+                i,
+                t,
+                stat_map[t][0]
+                if variant == "bm25plus" and t in stat_map
+                else None,
+            )
+            for q, toks in tok_lists
+            for i, t in enumerate(toks)
+        ]
+        qtok = _literal_df(
+            self.spark, qtok_rows, "query_id long, pos int, term string, df long"
+        )
 
         fan_thr = self.fan_out_threshold()
         if fan_out is None and fan_thr:
@@ -288,8 +385,15 @@ class BM25QueryEngine:
                 fan_out = min(cfg.fan_out_max, -(-max_cand // fan_thr))
         # observability (and test hook): the fan-out actually used
         self.last_fan_out = fan_out
+        # the padding stage only needs the DISTINCT query ids — a literal
+        # int table, not the queries DataFrame
+        qids_df = _literal_df(
+            self.spark,
+            [(q,) for q in sorted({q for q, _ in tok_lists})],
+            "query_id long",
+        )
         return self._finish_search(
-            qtok, qblocks, queries_df, topn, fan_out, include_text
+            qtok, qblocks, qids_df, topn, fan_out, include_text
         )
 
     def search_join_df(
@@ -524,7 +628,7 @@ class BM25QueryEngine:
             "pad_score",
         )
         self.last_fan_out = None
-        hits = self._pad_and_rank(queries_df, scored, topn)
+        hits = self._pad_and_rank(queries_df, scored, topn, single_range=True)
         if include_text:
             docs = self.index.docs().select(
                 "doc_id", F.col("text").alias("corpus_doc")
@@ -631,7 +735,9 @@ class BM25QueryEngine:
             .applyInPandas(score_group, _SCORE_SCHEMA)
         )
 
-        hits = self._pad_and_rank(queries_df, scored, k)
+        hits = self._pad_and_rank(
+            queries_df, scored, k, single_range=not fan_out
+        )
         if include_text:
             docs = self.index.docs().select(
                 "doc_id", F.col("text").alias("corpus_doc")
@@ -641,7 +747,13 @@ class BM25QueryEngine:
             )
         return hits
 
-    def _pad_and_rank(self, queries_df: DataFrame, scored: DataFrame, k: int) -> DataFrame:
+    def _pad_and_rank(
+        self,
+        queries_df: DataFrame,
+        scored: DataFrame,
+        k: int,
+        single_range: bool = False,
+    ) -> DataFrame:
         """Zero-score padding (reference ranks ALL docs; unmatched score 0.0,
         ties by ascending doc_id) + final ranking. Padding work only runs for
         flagged/zero-match queries — never on the happy path at scale.
@@ -662,14 +774,25 @@ class BM25QueryEngine:
         # above the pad score exist globally); n_matched sums over ranges.
         # A query id absent from `scored` entirely (no term matched any
         # block) is zero-match: pad from score 0.0.
-        per_range = scored.select(
-            "query_id", "range_id", "n_matched", "needs_pad", "pad_score"
-        ).distinct()
-        summary = per_range.groupBy("query_id").agg(
-            F.min(F.col("needs_pad").cast("int")).alias("pad"),
-            F.sum("n_matched").alias("n_matched"),
-            F.max("pad_score").alias("pad_score"),
-        )
+        if single_range:
+            # no fan-out: flags/counters are constant across a query's rows
+            # (range_id is the literal 0), so the per-(query, range)
+            # de-duplicating DISTINCT shuffle is pure overhead — aggregate
+            # the constants directly (max == min == the value)
+            summary = scored.groupBy("query_id").agg(
+                F.max(F.col("needs_pad").cast("int")).alias("pad"),
+                F.max("n_matched").alias("n_matched"),
+                F.max("pad_score").alias("pad_score"),
+            )
+        else:
+            per_range = scored.select(
+                "query_id", "range_id", "n_matched", "needs_pad", "pad_score"
+            ).distinct()
+            summary = per_range.groupBy("query_id").agg(
+                F.min(F.col("needs_pad").cast("int")).alias("pad"),
+                F.sum("n_matched").alias("n_matched"),
+                F.max("pad_score").alias("pad_score"),
+            )
         pad_q = (
             queries_df.select(F.col("query_id").cast("long").alias("query_id"))
             .distinct()
@@ -703,12 +826,12 @@ class BM25QueryEngine:
         ok = scored.join(
             pad_q.select("query_id"), "query_id", "left_anti"
         ).select("query_id", "doc_id", "score")
-        low_docs = (
-            self.index.docs()
-            .select("doc_id")
-            .orderBy("doc_id")
-            .limit(k + max_matched)
-        )
+        # doc ids are dense 0..N-1 by construction (_dense_doc_ids; merges
+        # append old_n..), so the lowest-id pad pool is a local range — no
+        # docs-table scan + sort + limit job per padded batch
+        low_docs = self.spark.range(
+            min(k + max_matched, self.index.n_docs)
+        ).select(F.col("id").alias("doc_id"))
         zero_rows = (
             pad_q.select("query_id", "score")
             .crossJoin(F.broadcast(low_docs))

@@ -18,6 +18,9 @@ CFG = EngineConfig(
     num_term_buckets=8,
     salt_df_threshold=30,
     num_salts=4,
+    # pin exact group counts: _fail_after_groups needs >1 write group at
+    # this tiny scale, which byte-adaptive grouping would collapse to one
+    checkpoint_group_min_bytes=0,
 )
 
 
