@@ -823,9 +823,6 @@ class BM25QueryEngine:
                 .select("query_id", "rank", "doc_id", "score")
             )
 
-        ok = scored.join(
-            pad_q.select("query_id"), "query_id", "left_anti"
-        ).select("query_id", "doc_id", "score")
         # doc ids are dense 0..N-1 by construction (_dense_doc_ids; merges
         # append old_n..), so the lowest-id pad pool is a local range — no
         # docs-table scan + sort + limit job per padded batch
@@ -841,16 +838,15 @@ class BM25QueryEngine:
                 "left_anti",
             )
         )
-        pad_rows = (
-            scored.join(pad_q.select("query_id"), "query_id", "left_semi")
-            .select("query_id", "doc_id", "score")
+        # ONE ranking window over matched rows (every query) plus the
+        # zero-score pool rows (padded queries only): per-query rankings
+        # are identical to ranking the padded and unpadded query sets
+        # separately, and the union saves an anti-join plus a second
+        # window exchange
+        return (
+            scored.select("query_id", "doc_id", "score")
             .unionByName(zero_rows.select("query_id", "doc_id", "score"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
-        )
-        ranked_ok = ok.withColumn("rank", F.row_number().over(w)).filter(
-            F.col("rank") <= k
-        )
-        return ranked_ok.unionByName(pad_rows).select(
-            "query_id", "rank", "doc_id", "score"
+            .select("query_id", "rank", "doc_id", "score")
         )
