@@ -67,6 +67,7 @@ from pyspark.storagelevel import StorageLevel
 
 from similarities_spark.config import EngineConfig
 from similarities_spark.index import codec
+from similarities_spark.localdf import literal_df
 from similarities_spark.plans.manifest import completed_buckets, write_manifest
 from similarities_spark.sources.readers import extract_text
 from similarities_spark.tokenize import choose_corpus_tokenizer
@@ -313,11 +314,10 @@ def _dense_doc_ids(pages: DataFrame, sort_partitions: int) -> DataFrame:
     # tiny (pid, offset) table joined broadcast — NOT an F.create_map plan
     # literal, which at 10^5+ input partitions would bloat every plan that
     # references doc_id. The broadcast join is narrow on the streamed side,
-    # so the window below still runs without an extra shuffle.
+    # so the window below still runs without an extra shuffle. literal_df:
+    # a JVM LocalRelation, so the broadcast build launches no Python tasks.
     spark = pages.sparkSession
-    offsets_df = spark.createDataFrame(
-        offsets, "_pid int, _offset long"
-    )
+    offsets_df = literal_df(spark, offsets, "_pid int, _offset long")
     w = Window.partitionBy("_pid").orderBy("warc_ts", "url")
     out = (
         ordered.join(F.broadcast(offsets_df), "_pid", "left")
@@ -540,6 +540,40 @@ def _encode_blocks_df(salted: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
+def _warm_python_workers_async(spark: SparkSession):
+    """Fork-and-import the Python worker pool CONCURRENTLY with the
+    JVM-only docs/sort stages (guide §2.6: overlap independent jobs).
+
+    The first Python-eval stage of a fresh session pays one fork + pandas/
+    pyarrow import per core (~5-6s wall at 32 cores, measured) and that
+    stage is otherwise the middle of the build's encode job. A tiny
+    identity mapInPandas job submitted from a daemon thread warms the pool
+    while the docs stage runs pure-JVM work that leaves most cores idle;
+    FIFO scheduling back-fills the warm tasks into those idle slots.
+    Computes nothing anyone reads; failures are ignored."""
+    import threading
+
+    def _run():
+        try:
+            def _identity(batches):
+                for pdf in batches:
+                    yield pdf
+
+            n = spark.sparkContext.defaultParallelism
+            spark.sparkContext.setJobDescription("warm python worker pool")
+            (
+                spark.range(n, numPartitions=n)
+                .mapInPandas(_identity, "id long")
+                .write.format("noop").mode("overwrite").save()
+            )
+        except Exception:
+            pass  # best-effort: the pool then warms lazily as before
+
+    t = threading.Thread(target=_run, daemon=True, name="py-worker-warmup")
+    t.start()
+    return t
+
+
 @F.pandas_udf(DoubleType())
 def _idf_raw_udf(df_col: pd.Series, n_col: pd.Series) -> pd.Series:
     """Exact reference idf: math.log (C libm) per term — NOT jvm Math.log or
@@ -575,6 +609,7 @@ class BM25IndexBuilder:
         """
         cfg = self.cfg
         t0 = time.time()
+        _warm_python_workers_async(self.spark)
         stage_wall = {}
         _last = [t0]
 
@@ -1278,12 +1313,11 @@ class BM25IndexBuilder:
     def _collect_heavy(self, heavy: DataFrame) -> DataFrame:
         """Materialize the salt list on the driver (thousands of rows even at
         webtext scale — df >= threshold bounds its size at total_tokens /
-        threshold) and return it as a literal DF: the broadcast then ships a
-        LocalTableScan instead of re-running the detection plan."""
+        threshold) and return it as a literal DF (JVM LocalRelation — the
+        broadcast build launches no Python tasks and never re-runs the
+        detection plan)."""
         rows = [(r["term"], True) for r in heavy.collect()]
-        return self.spark.createDataFrame(
-            rows, "term string, _heavy boolean"
-        )
+        return literal_df(self.spark, rows, "term string, _heavy boolean")
 
     def _tokenized_postings(self, docs: DataFrame):
         """Legacy (postings_mode='groupby') pre-aggregated postings: one row
