@@ -291,25 +291,27 @@ class BM25QueryEngine:
             self.spark, known, "query_id long, term string, df long, idf double"
         )
         qblocks = F.broadcast(qstats).join(blocks, "term", "inner")
-        # token side of the cogroup as a LITERAL table: (query_id, pos,
-        # term, df) with df attached driver-side from the same stat lookup
-        # (BM25Plus baselines; null otherwise — the join _attach_token_dfs
-        # did for the UDF-built token side, minus the join)
-        qtok_rows = [
-            (
-                q,
-                i,
-                t,
-                stat_map[t][0]
-                if variant == "bm25plus" and t in stat_map
-                else None,
-            )
-            for q, toks in tok_lists
-            for i, t in enumerate(toks)
-        ]
-        qtok = _literal_df(
-            self.spark, qtok_rows, "query_id long, pos int, term string, df long"
-        )
+        # Query tokens (ordered, duplicates kept) and BM25Plus token dfs
+        # ship in the scorer-function CLOSURE instead of riding a token-side
+        # DataFrame through a cogroup: the queries are driver-adjacent by
+        # contract, so a per-stage pickled dict replaces an entire exchange
+        # (the old qtok shuffle) and halves the scoring job's stage count.
+        # Padding stays correct for queries with no matching blocks: they
+        # simply produce no group, and _pad_and_rank's left join pads
+        # absent queries at score 0.0 — exact, because a query with ANY
+        # in-index token always has matching block rows (stats row => blocks
+        # exist), so an absent query has no in-index tokens and its true
+        # pad score is 0.0 for every variant.
+        tokens_by_q: Dict[int, list] = {}
+        for q, toks in tok_lists:
+            tokens_by_q.setdefault(q, []).extend(toks)
+        if variant == "bm25plus":
+            token_dfs_by_q = {
+                q: {t: stat_map[t][0] for t in set(toks) if t in stat_map}
+                for q, toks in tokens_by_q.items()
+            }
+        else:
+            token_dfs_by_q = {}
 
         fan_thr = self.fan_out_threshold()
         if fan_out is None and fan_thr:
@@ -328,12 +330,97 @@ class BM25QueryEngine:
         # int table, not the queries DataFrame
         qids_df = _literal_df(
             self.spark,
-            [(q,) for q in sorted({q for q, _ in tok_lists})],
+            [(q,) for q in sorted(tokens_by_q)],
             "query_id long",
         )
-        return self._finish_search(
-            qtok, qblocks, qids_df, topn, fan_out, include_text
+        return self._finish_search_local(
+            tokens_by_q,
+            token_dfs_by_q,
+            qblocks,
+            qids_df,
+            topn,
+            fan_out,
+            include_text,
         )
+
+    def _finish_search_local(
+        self,
+        tokens_by_q: Dict[int, list],
+        token_dfs_by_q: Dict[int, dict],
+        qblocks: DataFrame,
+        qids_df: DataFrame,
+        topn: int,
+        fan_out: Optional[int],
+        include_text: bool,
+    ) -> DataFrame:
+        """Scoring tail for the driver-adjacent path: ONE grouped-map over
+        the matched block rows per (query [, range]); query tokens arrive
+        via closure. Fan-out explodes blocks into their doc-id ranges as
+        before — a (query, range) with no blocks yields no group, which the
+        padding summary treats exactly like an all-blocks-out-of-range
+        scorer call (needs_pad=True vote, same pad score), so results are
+        unchanged (parity-tested)."""
+        cfg = self.cfg
+        avgdl = self.index.avgdl
+        n_docs = self.index.n_docs
+        k1, b, k = cfg.k1, cfg.b, topn
+        prune = cfg.score_mode == "wand"
+        variant, delta = cfg.variant, cfg.resolved_delta()
+
+        if fan_out:
+            per = max(1, (n_docs + fan_out - 1) // fan_out)
+            qblocks = qblocks.withColumn(
+                "range_id",
+                F.explode(
+                    F.sequence(
+                        (F.col("min_doc") / per).cast("long"),
+                        (F.col("max_doc") / per).cast("long"),
+                    )
+                ),
+            )
+            keys = ["query_id", "range_id"]
+        else:
+            per = None
+            qblocks = qblocks.withColumn("range_id", F.lit(0).cast("long"))
+            keys = ["query_id"]
+
+        def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            qid = int(pdf["query_id"].iloc[0])
+            rid = int(pdf["range_id"].iloc[0])
+            doc_range = (rid * per, (rid + 1) * per) if per else None
+            tokens = tokens_by_q.get(qid, [])
+            token_dfs = token_dfs_by_q.get(qid)
+            ids, scores, n_matched, needs_pad, pad_score = _scorer.score_query(
+                tokens, pdf, k, avgdl, k1, b, prune=prune,
+                variant=variant, delta=delta, n_docs=n_docs,
+                doc_range=doc_range, token_dfs=token_dfs or None,
+            )
+            return pd.DataFrame(
+                {
+                    "query_id": qid,
+                    "range_id": rid,
+                    "doc_id": ids,
+                    "score": scores,
+                    "n_matched": n_matched,
+                    "needs_pad": needs_pad,
+                    "pad_score": pad_score,
+                }
+            )
+
+        scored = qblocks.groupBy(*keys).applyInPandas(
+            score_group, _SCORE_SCHEMA
+        )
+        hits = self._pad_and_rank(
+            qids_df, scored, k, single_range=not fan_out
+        )
+        if include_text:
+            docs = self.index.docs().select(
+                "doc_id", F.col("text").alias("corpus_doc")
+            )
+            hits = hits.join(docs, "doc_id", "left").select(
+                "query_id", "rank", "doc_id", "score", "corpus_doc"
+            )
+        return hits
 
     def search_join_df(
         self,
