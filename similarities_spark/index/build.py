@@ -109,6 +109,14 @@ _BLOCKS_READ_SCHEMA = StructType(
 # single sorted file serves the same row-group pruning
 _STATS_ROWS_PER_PARTITION = 4_000_000
 
+# vocab size up to which term_stats finish on the driver (collect the
+# per-term aggregates, compute idf/eps in Python — same math.log the
+# pandas UDF runs — and write one sorted literal file): trades a
+# distributed idf projection + scalar agg + persisted intermediate
+# (3-4 jobs) for one collect of a few-MB table. Above this, the fully
+# distributed path runs unchanged (10^9-term vocabs never collect).
+_DRIVER_STATS_MAX_VOCAB = 20_000
+
 # explicit read schemas everywhere: an all-stopword corpus produces empty
 # blocks/term_stats dirs, where schema inference would fail
 _STATS_READ_SCHEMA = StructType(
@@ -270,6 +278,38 @@ class BM25Index:
         c = dict(self.meta["config"])
         c["stopwords"] = frozenset(c.get("stopwords") or ())
         return EngineConfig(**c)
+
+
+def _estimate_input_bytes(df: DataFrame) -> Optional[int]:
+    """Best-effort input size from the scan's file list (driver-side, no
+    job). None when the plan has no file sources or a non-local scheme."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for uri in files:
+        if uri.startswith("file:"):
+            path = uri[len("file:"):]
+            while path.startswith("//"):
+                path = path[1:]
+        elif uri.startswith("/"):
+            path = uri
+        else:
+            return None  # remote scheme: don't guess
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return total
+
+
+# target bytes of input per dense-id sort partition: the range exchange
+# only pays off when partitions hold real data; below one partition's
+# worth the range-sampling job and the 32-way tiny sort are pure overhead
+_SORT_BYTES_PER_PARTITION = 32 << 20
 
 
 def _dense_doc_ids(pages: DataFrame, sort_partitions: int) -> DataFrame:
@@ -609,6 +649,7 @@ class BM25IndexBuilder:
         """
         cfg = self.cfg
         t0 = time.time()
+        self._last_vocab_hint = None
         _warm_python_workers_async(self.spark)
         stage_wall = {}
         _last = [t0]
@@ -1344,17 +1385,31 @@ class BM25IndexBuilder:
         # the reference. This also removes a full-corpus text-keyed shuffle
         # from the build path. Cross-batch dedup lives in merge_new_docs.
         pages = extract_text(webtext).select("url", "warc_ts", "text")
-        sort_parts = max(
-            1, self.spark.sparkContext.defaultParallelism
-        )
+        # sort width derives from the INPUT SIZE, not a core-count constant
+        # (guide §2): a small corpus range-sorts in one partition — which
+        # skips the RangePartitioner's sampling job entirely — while
+        # anything bigger than cores x _SORT_BYTES_PER_PARTITION still
+        # spreads over every core. Unknown size falls back to cores.
+        par = max(1, self.spark.sparkContext.defaultParallelism)
+        est = _estimate_input_bytes(webtext)
+        if est is not None:
+            sort_parts = max(
+                1, min(par, -(-est // _SORT_BYTES_PER_PARTITION))
+            )
+        else:
+            sort_parts = par
         with_ids = _dense_doc_ids(pages, sort_parts)
-        # keep the sort_parts-way partitioned DF alive for the tokenize
-        # stage: re-reading the freshly written parquet would re-pack it
-        # into ~size/maxPartitionBytes partitions and serialize tokenization
+        sel = with_ids.select("doc_id", "url", "text")
+        if sort_parts < par:
+            # the sorted layout is narrower than the cluster: spread the
+            # cached docs so the tokenize stage still uses every core
+            sel = sel.repartition(par)
+        # keep the partitioned DF alive for the tokenize stage: re-reading
+        # the freshly written parquet would re-pack it into
+        # ~size/maxPartitionBytes partitions and serialize tokenization
         obs = Observation(f"docs-{uuid.uuid4().hex[:8]}")
         docs = (
-            with_ids.select("doc_id", "url", "text")
-            .observe(obs, F.count(F.lit(1)).alias("n"))
+            sel.observe(obs, F.count(F.lit(1)).alias("n"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         # the write is the action that populates the cache AND the row-count
@@ -1407,7 +1462,52 @@ class BM25IndexBuilder:
             F.sum("n_postings").cast("long").alias("df"),
             F.sum("tf_sum").cast("long").alias("term_tokens"),
         )
+        # the bucket metrics (when the blocks stage just ran) give the EXACT
+        # vocab size up front (buckets partition the vocab by term hash, so
+        # sum of per-bucket distinct terms is the global distinct count) —
+        # a small vocab then finishes on the driver in one job
+        vocab_hint = getattr(self, "_last_vocab_hint", None)
+        if vocab_hint is not None and vocab_hint <= _DRIVER_STATS_MAX_VOCAB:
+            return self._finish_term_stats_driver(df_tbl, n_docs, stats_path)
         return self._finish_term_stats(df_tbl, n_docs, stats_path)
+
+    def _finish_term_stats_driver(self, df_tbl, n_docs: int, stats_path: str):
+        """Small-vocab tail: same reference arithmetic as _finish_term_stats
+        (math.log per term — the very C-libm calls the pandas UDF makes,
+        here in the driver process; floored by epsilon x full-vocab
+        average), one sorted literal file. Summation order for the average
+        is ascending term — deterministic run to run, unlike a partitioned
+        float sum."""
+        cfg = self.cfg
+        rows = sorted(
+            (r["term"], int(r["df"]), int(r["term_tokens"]))
+            for r in df_tbl.collect()
+        )
+        idf_raw = [
+            math.log(n_docs - d + 0.5) - math.log(d + 0.5) for _, d, _ in rows
+        ]
+        vocab_size = len(rows)
+        average_idf = sum(idf_raw) / vocab_size if vocab_size else 0.0
+        eps = cfg.epsilon * average_idf
+        out_rows = [
+            (t, d, eps if raw < 0 else raw)
+            for (t, d, _), raw in zip(rows, idf_raw)
+        ]
+        stats = literal_df(self.spark, out_rows, "term string, df long, idf double")
+        (
+            stats.repartition(1)
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(stats_path)
+        )
+        meta = {
+            "vocab_size": vocab_size,
+            "average_idf": average_idf,
+            "epsilon_floor": eps,
+            "n_postings": sum(d for _, d, _ in rows),
+            "total_tokens": sum(tok for _, _, tok in rows),
+        }
+        return stats, meta
 
     def _finish_term_stats(self, df_tbl: DataFrame, n_docs: int, stats_path: str):
         """Shared tail: exact BM25Okapi idf (math.log UDF), full-vocab
@@ -1535,6 +1635,11 @@ class BM25IndexBuilder:
             )
             .collect()
         }
+        # exact global vocab (buckets partition terms by hash): lets the
+        # stats stage pick the driver-side tail for small vocabs
+        self._last_vocab_hint = sum(
+            int(m["n_terms"] or 0) for m in metrics.values()
+        )
         if mark is not None:
             mark("encode")  # tokenize+shuffle+encode+cache materialized here
 
