@@ -128,6 +128,15 @@ _STATS_READ_SCHEMA = StructType(
 )
 
 
+def _release_docs_cache(docs: DataFrame) -> None:
+    """Unpersist the docs cache plus (small-corpus branch) the sorted
+    parent cache whose release was deferred until docs materialized."""
+    parent = getattr(docs, "_defer_unpersist_parent", None)
+    if parent is not None:
+        parent.unpersist()
+    docs.unpersist()
+
+
 def _staging_root(index_dir: str) -> str:
     return os.path.join(index_dir, "_staging")
 
@@ -770,7 +779,7 @@ class BM25IndexBuilder:
                     json.dump(stats_meta, f, sort_keys=True)
                 term_stats = self.spark.read.schema(_STATS_READ_SCHEMA).parquet(stats_path)
             _mark("postings_and_stats")
-            docs.unpersist()
+            _release_docs_cache(docs)
             tokenized.unpersist()
             heavy = term_stats.filter(
                 F.col("df") >= cfg.salt_df_threshold
@@ -829,7 +838,7 @@ class BM25IndexBuilder:
                 fail_after_groups=_fail_after_groups,
                 mark=_mark,
             )
-            docs.unpersist()
+            _release_docs_cache(docs)
             tokenized.unpersist()
             _mark("blocks_write")
             if stats_meta is not None:
@@ -1051,45 +1060,84 @@ class BM25IndexBuilder:
                     F.coalesce(F.col("df_old"), F.lit(0))
                     + F.coalesce(F.col("df_new"), F.lit(0))
                 ).alias("df"),
+                F.coalesce(F.col("tok_new"), F.lit(0)).alias("tok_new"),
             )
         )
         n_total = old_n + m_new
-        raw = combined.withColumn(
-            "idf_raw", _idf_raw_udf(F.col("df"), F.lit(n_total).cast("long"))
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        g = raw.agg(
-            F.sum("idf_raw").alias("s"),
-            F.count(F.lit(1)).alias("v"),
-            F.sum("df").alias("np"),
-        ).collect()[0]
-        vocab_size = int(g["v"] or 0)
-        average_idf = float(g["s"]) / vocab_size if vocab_size else 0.0
-        eps = cfg.epsilon * average_idf
-        new_tokens = int(
-            df_new.agg(F.sum("tok_new").alias("t")).collect()[0]["t"] or 0
-        )
-        stats = raw.select(
-            "term",
-            "df",
-            F.when(F.col("idf_raw") < 0, F.lit(eps))
-            .otherwise(F.col("idf_raw"))
-            .alias("idf"),
-        )
         tmp_stats = os.path.join(inc_dir, "term_stats")
-        # same sorted, vocab-size-adaptive layout as _finish_term_stats
-        # (row-group prunable)
-        parts = max(1, -(-vocab_size // _STATS_ROWS_PER_PARTITION))
-        sink = (
-            stats.repartition(1)
-            if parts == 1
-            else stats.repartitionByRange(parts, F.col("term"))
-        )
-        (
-            sink.sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .parquet(tmp_stats)
-        )
-        raw.unpersist()
+
+        # Driver-side tail under the SAME criterion as a full rebuild
+        # (_stats_from_blocks): a merged index and a from-scratch rebuild
+        # over the same corpus must produce BIT-identical idf values, and
+        # the epsilon floor bakes in a float average whose summation order
+        # matters in the last ulp. Both paths therefore use the identical
+        # deterministic ascending-term Python sum whenever the vocab fits
+        # the driver cap, and the identical distributed plan otherwise.
+        driver_rows = None
+        if int(idx.meta.get("vocab_size") or 0) <= _DRIVER_STATS_MAX_VOCAB:
+            driver_rows = sorted(
+                (r["term"], int(r["df"]), int(r["tok_new"]))
+                for r in combined.collect()
+            )
+            if len(driver_rows) > _DRIVER_STATS_MAX_VOCAB:
+                driver_rows = None  # crossed the cap this merge: go distributed
+        if driver_rows is not None:
+            idf_raw = [
+                math.log(n_total - d + 0.5) - math.log(d + 0.5)
+                for _, d, _ in driver_rows
+            ]
+            vocab_size = len(driver_rows)
+            average_idf = sum(idf_raw) / vocab_size if vocab_size else 0.0
+            eps = cfg.epsilon * average_idf
+            out_rows = [
+                (t, d, eps if raw < 0 else raw)
+                for (t, d, _), raw in zip(driver_rows, idf_raw)
+            ]
+            g = {"np": sum(d for _, d, _ in driver_rows)}
+            new_tokens = sum(tok for _, _, tok in driver_rows)
+            (
+                literal_df(self.spark, out_rows, "term string, df long, idf double")
+                .repartition(1)
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(tmp_stats)
+            )
+        else:
+            raw = combined.withColumn(
+                "idf_raw", _idf_raw_udf(F.col("df"), F.lit(n_total).cast("long"))
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            g = raw.agg(
+                F.sum("idf_raw").alias("s"),
+                F.count(F.lit(1)).alias("v"),
+                F.sum("df").alias("np"),
+            ).collect()[0]
+            vocab_size = int(g["v"] or 0)
+            average_idf = float(g["s"]) / vocab_size if vocab_size else 0.0
+            eps = cfg.epsilon * average_idf
+            new_tokens = int(
+                df_new.agg(F.sum("tok_new").alias("t")).collect()[0]["t"] or 0
+            )
+            stats = raw.select(
+                "term",
+                "df",
+                F.when(F.col("idf_raw") < 0, F.lit(eps))
+                .otherwise(F.col("idf_raw"))
+                .alias("idf"),
+            )
+            # same sorted, vocab-size-adaptive layout as _finish_term_stats
+            # (row-group prunable)
+            parts = max(1, -(-vocab_size // _STATS_ROWS_PER_PARTITION))
+            sink = (
+                stats.repartition(1)
+                if parts == 1
+                else stats.repartitionByRange(parts, F.col("term"))
+            )
+            (
+                sink.sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .parquet(tmp_stats)
+            )
+            raw.unpersist()
         rows.unpersist()  # no-op in fused mode (exploded is never persisted)
 
         # ---- stage next meta, write the commit record, roll forward ----
@@ -1399,24 +1447,34 @@ class BM25IndexBuilder:
         else:
             sort_parts = par
         with_ids = _dense_doc_ids(pages, sort_parts)
-        sel = with_ids.select("doc_id", "url", "text")
-        if sort_parts < par:
-            # the sorted layout is narrower than the cluster: spread the
-            # cached docs so the tokenize stage still uses every core
-            sel = sel.repartition(par)
+        narrow = with_ids.select("doc_id", "url", "text")
         # keep the partitioned DF alive for the tokenize stage: re-reading
         # the freshly written parquet would re-pack it into
         # ~size/maxPartitionBytes partitions and serialize tokenization
         obs = Observation(f"docs-{uuid.uuid4().hex[:8]}")
-        docs = (
-            sel.observe(obs, F.count(F.lit(1)).alias("n"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        # the write is the action that populates the cache AND the row-count
-        # observation — no separate count job over the corpus
-        docs.write.mode("overwrite").parquet(docs_path)
-        n_docs = int(obs.get["n"])
         parent = getattr(with_ids, "_cached_sort_parent", None)
+        if sort_parts < par:
+            # small corpus: write the sorted single-partition layout (one
+            # well-sized file, cheap commit — guide §6) and cache a spread
+            # copy for tokenize parallelism. The spread cache materializes
+            # lazily at its first consumer, so the sorted parent cache must
+            # outlive this call — deferred unpersist is fine HERE because
+            # this branch only exists for inputs under cores x 32MB.
+            narrow.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+                "overwrite"
+            ).parquet(docs_path)
+            docs = narrow.repartition(par).persist(StorageLevel.MEMORY_AND_DISK)
+            docs._defer_unpersist_parent = parent
+            parent = None
+        else:
+            docs = (
+                narrow.observe(obs, F.count(F.lit(1)).alias("n"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            # the write populates the cache AND the row-count observation —
+            # no separate count job over the corpus
+            docs.write.mode("overwrite").parquet(docs_path)
+        n_docs = int(obs.get["n"])
         if parent is not None:
             parent.unpersist()
         meta = {
