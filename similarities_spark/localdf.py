@@ -6,6 +6,8 @@ index builder (partition offsets, heavy-term salt list).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import SparkSession
 
 
@@ -54,7 +56,12 @@ def literal_df(spark: SparkSession, rows, schema_ddl: str):
             b = base64.b64encode(v.encode("utf-8")).decode("ascii")
             return f"CAST(unbase64('{b}') AS STRING)"
         if typ == "double":
-            return f"CAST({v!r} AS DOUBLE)"
+            # via a STRING cast: Double.parseDouble round-trips repr()
+            # bit-exactly INCLUDING the sign of zero, while a bare SQL
+            # numeric literal parses as DECIMAL and loses -0.0
+            if not math.isfinite(v):
+                raise ValueError("non-finite double literal")  # -> fallback
+            return f"CAST('{v!r}' AS DOUBLE)"
         if typ in ("long", "bigint"):
             return f"CAST({int(v)} AS BIGINT)"
         if typ == "int":
@@ -63,11 +70,18 @@ def literal_df(spark: SparkSession, rows, schema_ddl: str):
             return "true" if v else "false"
         raise ValueError(f"unsupported literal type {typ}")
 
-    values = ",".join(
-        "(" + ",".join(cell(v, t) for v, (_, t) in zip(row, fields)) + ")"
-        for row in rows
-    )
-    cols = ",".join(name for name, _ in fields)
-    return spark.sql(f"SELECT * FROM VALUES {values} AS t({cols})")
+    try:
+        values = ",".join(
+            "(" + ",".join(cell(v, t) for v, (_, t) in zip(row, fields)) + ")"
+            for row in rows
+        )
+        return spark.sql(
+            f"SELECT * FROM VALUES {values} "
+            f"AS t({','.join(name for name, _ in fields)})"
+        )
+    except Exception:
+        # robustness net for values the literal route cannot express
+        # (e.g. strings with lone surrogates): same rows, RDD-backed
+        return spark.createDataFrame(rows, schema_ddl)
 
 
