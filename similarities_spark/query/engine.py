@@ -119,6 +119,13 @@ class BM25QueryEngine:
         # populated on first use when fan_out_target_task_s is set
         self.last_calibration: Optional[dict] = None
         self._resolved_fan_out_threshold: Optional[int] = None
+        # DataFrame HANDLES (not data) to the index tables, created once:
+        # spark.read.parquet lists files eagerly on the driver, so a fresh
+        # blocks()/term_stats() per batch re-paid the listing every search.
+        # The engine binds to the index state at construction — consistent
+        # with BM25Index.meta, which is read once at open.
+        self._blocks_df = index.blocks()
+        self._stats_df = index.term_stats()
         # the cached DFs of the CURRENT search (scored + the pad summary):
         # kept alive while the caller materializes the returned hits,
         # released on the NEXT search (or close()) — a long-lived session
@@ -248,7 +255,7 @@ class BM25QueryEngine:
             )
             stat_map = {
                 r["term"]: (int(r["df"]), float(r["idf"]))
-                for r in self.index.term_stats()
+                for r in self._stats_df
                 .filter(F.col("term").isin(terms))
                 .collect()
             }
@@ -258,7 +265,7 @@ class BM25QueryEngine:
         # partition pruning (bucket IN ...) + row-group stats pruning
         # (term IN ...): only index files/row-groups holding query terms
         # are read — the rest of the 100 TB index is never touched
-        blocks = self.index.blocks()
+        blocks = self._blocks_df
         if buckets:
             blocks = blocks.filter(F.col("bucket").isin(buckets)).filter(
                 F.col("term").isin(terms)
@@ -458,12 +465,12 @@ class BM25QueryEngine:
             F.explode(tok_udf(F.col("text"))).alias("term"),
         ).distinct()
         qstats = qterms.join(
-            self.index.term_stats(), "term", "inner"
+            self._stats_df, "term", "inner"
         ).withColumn(
             "bucket",
             F.pmod(F.xxhash64("term"), F.lit(cfg.num_term_buckets)).cast("int"),
         )
-        qblocks = qstats.join(self.index.blocks(), ["bucket", "term"], "inner")
+        qblocks = qstats.join(self._blocks_df, ["bucket", "term"], "inner")
         qtok = self._attach_token_dfs(qtok, qstats, broadcast_stats=False)
 
         fan_out = None
@@ -544,7 +551,7 @@ class BM25QueryEngine:
         tstats = (
             qw.select("term")
             .distinct()
-            .join(self.index.term_stats(), "term", "inner")
+            .join(self._stats_df, "term", "inner")
         )
 
         def tvals_fn(it):
@@ -581,7 +588,7 @@ class BM25QueryEngine:
         # each matching block exactly ONCE: broadcast the tiny term table
         # into the bucket-partitioned blocks scan (runtime partition
         # pruning on the broadcast join keys)
-        blocks = self.index.blocks().select(
+        blocks = self._blocks_df.select(
             "bucket", "term", "salt", "block_id", "n_postings", "payload"
         )
         tblocks = blocks.join(F.broadcast(tvals), ["bucket", "term"], "inner")
