@@ -604,6 +604,13 @@ def _warm_python_workers_async(spark: SparkSession):
 
     def _run():
         try:
+            # stagger behind the build's FIRST action: FIFO gives the
+            # earlier-submitted job every slot, and the warm tasks each
+            # burn ~1-2s of import CPU — submitted first they would delay
+            # the docs chain by exactly that; submitted second they
+            # back-fill the cores the docs stages leave idle
+            time.sleep(0.5)
+
             def _identity(batches):
                 for pdf in batches:
                     yield pdf

@@ -126,6 +126,13 @@ class BM25QueryEngine:
         # with BM25Index.meta, which is read once at open.
         self._blocks_df = index.blocks()
         self._stats_df = index.term_stats()
+        # vocab-capped driver snapshot of term_stats, loaded lazily at the
+        # first search: the per-batch df/idf lookup then costs a dict probe
+        # instead of a Spark job. Gated on the EXACT vocab size from meta
+        # (same 20k cap as the builder's driver stats tail) — a web-scale
+        # vocab never loads; values come from the same parquet bytes, so
+        # scores are unchanged.
+        self._stats_snapshot: Optional[dict] = None
         # the cached DFs of the CURRENT search (scored + the pad summary):
         # kept alive while the caller materializes the returned hits,
         # released on the NEXT search (or close()) — a long-lived session
@@ -164,6 +171,28 @@ class BM25QueryEngine:
                 "effective_target_task_s": eff_target,
             }
         return self._resolved_fan_out_threshold
+
+    def _lookup_stats(self, terms) -> Dict[str, tuple]:
+        """df/idf for the given terms: from the vocab-capped driver
+        snapshot when the whole stats table is tiny (one load per engine,
+        then zero Spark jobs per batch), else a term-IN-pruned scan."""
+        cap = 20_000
+        vocab = int(self.index.meta.get("vocab_size") or (cap + 1))
+        if vocab <= cap:
+            if self._stats_snapshot is None:
+                self._stats_snapshot = {
+                    r["term"]: (int(r["df"]), float(r["idf"]))
+                    for r in self._stats_df.collect()
+                }
+            return {
+                t: self._stats_snapshot[t]
+                for t in terms
+                if t in self._stats_snapshot
+            }
+        return {
+            r["term"]: (int(r["df"]), float(r["idf"]))
+            for r in self._stats_df.filter(F.col("term").isin(terms)).collect()
+        }
 
     def search(
         self,
@@ -253,12 +282,7 @@ class BM25QueryEngine:
             buckets = sorted(
                 {term_bucket(t, cfg.num_term_buckets) for t in terms}
             )
-            stat_map = {
-                r["term"]: (int(r["df"]), float(r["idf"]))
-                for r in self._stats_df
-                .filter(F.col("term").isin(terms))
-                .collect()
-            }
+            stat_map = self._lookup_stats(terms)
         else:
             buckets, stat_map = [], {}
 
