@@ -604,13 +604,11 @@ def _warm_python_workers_async(spark: SparkSession):
 
     def _run():
         try:
-            # stagger behind the build's FIRST action: FIFO gives the
-            # earlier-submitted job every slot, and the warm tasks each
-            # burn ~1-2s of import CPU — submitted first they would delay
-            # the docs chain by exactly that; submitted second they
-            # back-fill the cores the docs stages leave idle
-            time.sleep(0.5)
-
+            # submitted immediately: an interleaved A/B (3 pairs) showed
+            # submitting the warm job FIRST beats staggering it behind the
+            # docs chain by ~0.3-0.5s — the pool is fully imported before
+            # the 32-task stages need it, and the single-task docs stages
+            # lose at most one slot
             def _identity(batches):
                 for pdf in batches:
                     yield pdf
