@@ -186,7 +186,10 @@ def lsh_candidates(
     queries: DataFrame,
     n_planes: int = 6,
     n_tables: int = 8,
-    dim: Optional[int] = None,  # REQUIRED (keyword for call-site clarity)
+    # REQUIRED since r5 (the driver-side .first() dim probe was removed);
+    # the Optional default survives one release for keyword-call
+    # compatibility and raises immediately when omitted
+    dim: Optional[int] = None,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -307,11 +307,14 @@ def frame_sample(
     id_col: str = "media_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Video frame sampling: one row per sampled frame. Two stream formats,
-    dispatched per payload on the leading magic: real MJPEG (concatenated
-    baseline JPEG frames — split at EOI markers, which byte stuffing keeps
-    out of entropy data) and a concatenated-PNG frame stream (the lossless
-    analog). Each sampled frame is DECODED and fingerprinted from its pixel
+    """Video frame sampling: one row per sampled frame. Three stream
+    formats, dispatched per payload on the leading magic: AVI/RIFF
+    containers (frames from their '00dc' MJPEG chunks), bare MJPEG
+    (concatenated baseline JPEG frames — split at EOI markers; byte
+    stuffing keeps EOI out of entropy data, so this split is exact for
+    self-generated streams without APPn-embedded thumbnails, which can
+    carry their own EOI), and a concatenated-PNG frame stream (the
+    lossless analog). Each sampled frame is DECODED and fingerprinted from its pixel
     bytes, so identical frames fingerprint identically regardless of how
     the encoder compressed them. The explode shape (media_id, frame_idx,
     frame_fp, width, height) is what a real ffmpeg kernel would emit."""
