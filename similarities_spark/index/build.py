@@ -46,6 +46,7 @@ import json
 import math
 import os
 import shutil
+import threading
 import time
 import uuid
 from typing import Optional
@@ -720,6 +721,7 @@ class BM25IndexBuilder:
                 or docs_meta.get("input_fp") != input_fp["input_fp"]
             ):
                 docs_meta = None  # stale: input changed under the checkpoint
+        fresh_docs = docs_meta is None
         if docs_meta is not None:
             # re-read loses the build-time partitioning: small parquet files
             # get packed to maxPartitionBytes and would throttle the tokenize
@@ -735,8 +737,21 @@ class BM25IndexBuilder:
                 "n_input_rows": docs_meta["n_input_rows"],
             }
             os.makedirs(ckpt, exist_ok=True)
-            with open(docs_manifest, "w", encoding="utf-8") as f:
-                json.dump(docs_meta, f, sort_keys=True)
+
+        def _finalize_docs_stage():
+            """Join the (possibly async) docs file write and only then
+            record the stage manifest — a manifest must never describe
+            files that are not fully on disk. No-op on the resume path."""
+            pend = getattr(docs, "_pending_write", None)
+            if pend is not None:
+                thread, errbox = pend
+                thread.join()
+                docs._pending_write = None
+                if errbox:
+                    raise errbox[0]
+            if fresh_docs:
+                with open(docs_manifest, "w", encoding="utf-8") as f:
+                    json.dump(docs_meta, f, sort_keys=True)
 
         _mark("docs")
         n_docs = docs_meta["n_docs"]
@@ -772,6 +787,7 @@ class BM25IndexBuilder:
         if cfg.postings_mode == "groupby":
             # legacy two-shuffle plan (A/B baseline): postings hash agg
             # feeds term_stats, then a second exchange feeds the encoder
+            _finalize_docs_stage()  # legacy mode gains no overlap: join now
             tokenized, postings = self._tokenized_postings(docs)
             if stats_meta is not None:
                 term_stats = self.spark.read.schema(_STATS_READ_SCHEMA).parquet(stats_path)
@@ -832,6 +848,10 @@ class BM25IndexBuilder:
             # the stage wall attributes it separately
             heavy = self._collect_heavy(self._heavy_terms(docs, tokenized))
             _mark("salt_detect")
+            # the async docs file write has been overlapping tokenize +
+            # heavy detection; join it (and record the stage manifest)
+            # before the encode stage commits to the lineage
+            _finalize_docs_stage()
             blocks_cached = self._build_blocks(
                 exploded,
                 heavy,
@@ -1465,12 +1485,30 @@ class BM25IndexBuilder:
             # lazily at its first consumer, so the sorted parent cache must
             # outlive this call — deferred unpersist is fine HERE because
             # this branch only exists for inputs under cores x 32MB.
-            narrow.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-                "overwrite"
-            ).parquet(docs_path)
+            # The FILE write runs ASYNC (guide §2.6): n_docs is already
+            # known from the counts pass, nothing during the build reads
+            # the docs files (the cache serves tokenize), and the caller
+            # joins the thread before the stage manifest is recorded.
+            errbox = []
+
+            def _write_docs():
+                try:
+                    self.spark.sparkContext.setJobDescription(
+                        "docs parquet write (async)"
+                    )
+                    narrow.write.mode("overwrite").parquet(docs_path)
+                except BaseException as e:  # surfaced at the join
+                    errbox.append(e)
+
+            th = threading.Thread(
+                target=_write_docs, daemon=True, name="docs-write"
+            )
+            th.start()
             docs = narrow.repartition(par).persist(StorageLevel.MEMORY_AND_DISK)
             docs._defer_unpersist_parent = parent
+            docs._pending_write = (th, errbox)
             parent = None
+            n_docs = int(with_ids._input_fp["n_input_rows"])
         else:
             docs = (
                 narrow.observe(obs, F.count(F.lit(1)).alias("n"))
@@ -1479,7 +1517,7 @@ class BM25IndexBuilder:
             # the write populates the cache AND the row-count observation —
             # no separate count job over the corpus
             docs.write.mode("overwrite").parquet(docs_path)
-        n_docs = int(obs.get["n"])
+            n_docs = int(obs.get["n"])
         if parent is not None:
             parent.unpersist()
         meta = {
