@@ -805,7 +805,7 @@ class BM25IndexBuilder:
             heavy = term_stats.filter(
                 F.col("df") >= cfg.salt_df_threshold
             ).select("term", F.lit(True).alias("_heavy"))
-            blocks_cached = self._build_blocks(
+            blocks_cached, _ = self._build_blocks(
                 postings,
                 heavy,
                 blocks_path,
@@ -852,7 +852,10 @@ class BM25IndexBuilder:
             # heavy detection; join it (and record the stage manifest)
             # before the encode stage commits to the lineage
             _finalize_docs_stage()
-            blocks_cached = self._build_blocks(
+            # group writes run ASYNC, overlapped with the stats computation
+            # below — both only read the blocks cache; the join (which also
+            # surfaces write failures) runs before the cache is released
+            blocks_cached, blocks_join = self._build_blocks(
                 exploded,
                 heavy,
                 blocks_path,
@@ -862,11 +865,14 @@ class BM25IndexBuilder:
                 done_buckets=set(done),
                 fail_after_groups=_fail_after_groups,
                 mark=_mark,
+                async_writes=True,
             )
             _release_docs_cache(docs)
             tokenized.unpersist()
             _mark("blocks_write")
             if stats_meta is not None:
+                if blocks_join is not None:
+                    blocks_join()
                 term_stats = self.spark.read.schema(_STATS_READ_SCHEMA).parquet(stats_path)
             else:
                 # stats derive from the STILL-CACHED blocks table when the
@@ -875,6 +881,8 @@ class BM25IndexBuilder:
                 term_stats, stats_meta = self._stats_from_blocks(
                     blocks_path, n_docs, stats_path, blocks_df=blocks_cached
                 )
+                if blocks_join is not None:
+                    blocks_join()
                 stats_meta["lineage_key"] = lineage_key
                 with open(stats_manifest, "w", encoding="utf-8") as f:
                     json.dump(stats_meta, f, sort_keys=True)
@@ -1676,6 +1684,7 @@ class BM25IndexBuilder:
         done_buckets: set,
         fail_after_groups: Optional[int] = None,
         mark=None,
+        async_writes: bool = False,
     ):
         """``postings`` is either pre-aggregated (term, doc_id, doc_len, tf)
         rows (legacy mode) or raw exploded token rows without tf (fused mode
@@ -1683,9 +1692,11 @@ class BM25IndexBuilder:
         (term, _heavy) — always broadcast. ``mark`` (optional) records the
         encode-vs-write stage boundary in the build's stage walls.
 
-        Returns the persisted blocks DataFrame so the caller can derive
-        term_stats from the cache instead of re-reading the freshly written
-        parquet (the caller unpersists); None when the stage fully
+        Returns (blocks, join): the persisted blocks DataFrame so the
+        caller can derive term_stats from the cache instead of re-reading
+        the freshly written parquet (the caller unpersists), and — when
+        ``async_writes`` — a join callable that must run before the cache
+        is released or meta is written. (None, None) when the stage fully
         resumed."""
         cfg = self.cfg
         per_salt = cfg.salt_bounds(n_docs)
@@ -1721,7 +1732,7 @@ class BM25IndexBuilder:
             # fully-resumed blocks stage: every bucket manifest matches this
             # lineage — never trigger the encode job (metrics included)
             blocks.unpersist()
-            return None
+            return None, None
 
         # per-bucket metrics in ONE job (not one per group) — the group loop
         # below then only pays the write
@@ -1761,34 +1772,66 @@ class BM25IndexBuilder:
             )
         group_size = max(1, (len(all_buckets) + n_groups - 1) // n_groups)
         groups = [todo[i : i + group_size] for i in range(0, len(todo), group_size)]
-        for gi, grp in enumerate(groups):
-            if fail_after_groups is not None and gi >= fail_after_groups:
-                raise RuntimeError(
-                    f"[test hook] aborting blocks build after {gi} groups"
+
+        def _write_groups():
+            for gi, grp in enumerate(groups):
+                if fail_after_groups is not None and gi >= fail_after_groups:
+                    raise RuntimeError(
+                        f"[test hook] aborting blocks build after {gi} groups"
+                    )
+                t0 = time.time()
+                part = blocks.filter(F.col("bucket").isin(grp))
+                (
+                    part.repartition(max(1, len(grp)), "bucket")
+                    .sortWithinPartitions("term", "salt", "block_id")
+                    .write.mode("append")
+                    .partitionBy("bucket")
+                    .parquet(blocks_path)
                 )
-            t0 = time.time()
-            part = blocks.filter(F.col("bucket").isin(grp))
-            (
-                part.repartition(max(1, len(grp)), "bucket")
-                .sortWithinPartitions("term", "salt", "block_id")
-                .write.mode("append")
-                .partitionBy("bucket")
-                .parquet(blocks_path)
-            )
-            wall = time.time() - t0
-            for b in grp:
-                m = metrics.get(b)
-                write_manifest(
-                    ckpt,
-                    b,
-                    {
-                        "lineage_key": lineage_key,
-                        "bucket": b,
-                        "n_terms": int(m["n_terms"]) if m is not None else 0,
-                        "n_postings": int(m["n_postings"]) if m is not None else 0,
-                        "n_blocks": int(m["n_blocks"]) if m is not None else 0,
-                        "payload_bytes": int(m["payload_bytes"]) if m is not None else 0,
-                        "group_wall_s": wall,
-                    },
+                wall = time.time() - t0
+                for b in grp:
+                    m = metrics.get(b)
+                    write_manifest(
+                        ckpt,
+                        b,
+                        {
+                            "lineage_key": lineage_key,
+                            "bucket": b,
+                            "n_terms": int(m["n_terms"]) if m is not None else 0,
+                            "n_postings": int(m["n_postings"]) if m is not None else 0,
+                            "n_blocks": int(m["n_blocks"]) if m is not None else 0,
+                            "payload_bytes": int(m["payload_bytes"]) if m is not None else 0,
+                            "group_wall_s": wall,
+                        },
+                    )
+
+        if not async_writes:
+            _write_groups()
+            return blocks, None
+
+        # run the group writes CONCURRENTLY with the caller's stats
+        # computation (guide §2.6) — both only read the blocks cache, and
+        # each bucket manifest is still written strictly after its group's
+        # files land. The caller MUST call the returned join before
+        # unpersisting the cache or writing meta.json; write failures
+        # (and the _fail_after_groups test hook) surface there.
+        errbox = []
+
+        def _run():
+            try:
+                self.spark.sparkContext.setJobDescription(
+                    "blocks group writes (async)"
                 )
-        return blocks
+                _write_groups()
+            except BaseException as e:
+                errbox.append(e)
+
+        th = threading.Thread(target=_run, daemon=True, name="blocks-write")
+        th.start()
+
+        def _join():
+            th.join()
+            if errbox:
+                raise errbox[0]
+
+        return blocks, _join
