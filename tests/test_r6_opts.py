@@ -97,3 +97,59 @@ def test_spread_small_input_noop_when_wide(spark):
     par = spark.sparkContext.defaultParallelism
     df = spark.range(1000).repartition(par + 1)
     assert spread_small_input(df) is df
+
+
+def test_async_docs_write_failure_surfaces_and_leaves_no_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """The small-corpus docs file write runs on a daemon thread overlapped
+    with tokenize + salt detection; a write failure must surface from
+    build() at the join, the docs stage manifest must NOT exist (a manifest
+    never describes files that are not fully on disk), and a fresh rebuild
+    must recover and match a clean build."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from similarities_spark.config import EngineConfig
+    from similarities_spark.index.build import BM25IndexBuilder
+    from similarities_spark.sources.synth import synth_webtext_pandas
+
+    cfg = EngineConfig(
+        stopwords=frozenset({"the"}),
+        block_size=16,
+        num_term_buckets=4,
+        salt_df_threshold=30,
+        num_salts=4,
+    )
+    pdf = synth_webtext_pandas(n_docs=80, seed=23)
+    df = spark.createDataFrame(pdf)
+    builder = BM25IndexBuilder(spark, cfg)
+
+    clean_dir = str(tmp_path / "clean")
+    clean = builder.build(df, clean_dir, input_desc="awf")
+
+    broken_dir = str(tmp_path / "broken")
+    orig = DataFrameWriter.parquet
+
+    def boom(self, path, *a, **k):
+        if path.rstrip("/").endswith("/docs"):
+            raise RuntimeError("injected docs write failure")
+        return orig(self, path, *a, **k)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
+    with pytest.raises(RuntimeError, match="injected docs write failure"):
+        builder.build(df, broken_dir, input_desc="awf")
+    monkeypatch.setattr(DataFrameWriter, "parquet", orig)
+
+    # the failed stage left neither a docs manifest nor a commit marker
+    assert not os.path.exists(
+        os.path.join(broken_dir, "manifests", "stage-docs.json")
+    )
+    assert not os.path.exists(os.path.join(broken_dir, "meta.json"))
+
+    # a fresh rebuild into the same dir recovers bit-identically
+    rebuilt = builder.build(df, broken_dir, input_desc="awf")
+    from tests.test_resume import _decoded_postings
+
+    assert _decoded_postings(rebuilt) == _decoded_postings(clean)
+    assert rebuilt.meta["n_docs"] == clean.meta["n_docs"]
+    assert rebuilt.meta["avgdl"] == clean.meta["avgdl"]
